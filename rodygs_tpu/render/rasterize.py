@@ -1,0 +1,136 @@
+"""Public differentiable renderer — the equivalent of the reference's
+renderer bridge (`src/trainer/renderer.py:17-114`) plus the CUDA rasterizer
+it wraps.
+
+`render()` takes *activated* per-Gaussian tensors (like the reference's
+functional `render`, which the joint trainer feeds concatenated static+dynamic
+sets), a `Camera` pytree, and static image dims, and returns the same output
+dict contract: rendered_image / rendered_depth / rendered_normal /
+rendered_alpha / viewspace_points / visibility_filter / radii.
+
+Gradient paths (all via `jax.grad`, no hand-written chain):
+  params -> preprocess (jnp) -> records gather (jnp.take) ->
+  rasterize_tiles (Pallas custom VJP) -> image.
+
+The screen-space densification gradient of the reference (`retain_grad` on a
+zero tensor, `renderer.py:38-44`) is reproduced functionally: pass a zero
+`[N,2]` array as `means2d_offset`; the gradient of the loss w.r.t. it equals
+dL/d(means2d) in the same scaled-NDC units the reference accumulates
+(dL/dpixel * 0.5*[W, H]).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .binning import CHUNK, TILE, bin_splats, tile_grid
+from .camera import Camera
+from .preprocess import Splats2D, preprocess
+from .tile_kernel import NUM_CHANNELS, PIX, rasterize_tiles, tiles_to_image
+
+
+def default_fragment_budget(image_width: int, image_height: int, n: int) -> int:
+    """Static fragment capacity: generous multiple of (tiles + gaussians)."""
+    tiles_x, tiles_y = tile_grid(image_width, image_height)
+    budget = max(32 * n, 8 * tiles_x * tiles_y * CHUNK // 16)
+    # Round to CHUNK multiple with a floor for tiny scenes.
+    budget = max(budget, 1 << 16)
+    return -(-budget // CHUNK) * CHUNK
+
+
+def _pack_records(splats: Splats2D) -> jnp.ndarray:
+    """Field-major [16, N+1] record matrix; trailing all-zero dummy column
+    (id N) absorbs padded fragment slots."""
+    n = splats.mean2d.shape[0]
+    rec = jnp.concatenate(
+        [
+            splats.mean2d.T,                  # rows 0:2
+            splats.conic.T,                   # rows 2:5
+            splats.opacity[None, :],          # row 5
+            splats.rgb.T,                     # rows 6:9
+            splats.depth[None, :],            # row 9
+            splats.normal.T,                  # rows 10:13
+            jnp.ones((1, n), jnp.float32),    # row 13 (const feature)
+            jnp.zeros((2, n), jnp.float32),   # rows 14:16 pad
+        ],
+        axis=0,
+    )
+    return jnp.concatenate([rec, jnp.zeros((16, 1), jnp.float32)], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sh_degree", "image_width", "image_height", "max_fragments"),
+)
+def render(
+    means3d: jnp.ndarray,
+    shs: jnp.ndarray,
+    opacity: jnp.ndarray,
+    scaling: jnp.ndarray,
+    rotation: jnp.ndarray,
+    camera: Camera,
+    sh_degree: int,
+    image_width: int,
+    image_height: int,
+    bg: jnp.ndarray | None = None,
+    scale_modifier: float = 1.0,
+    alive: jnp.ndarray | None = None,
+    means2d_offset: jnp.ndarray | None = None,
+    colors_precomp: jnp.ndarray | None = None,
+    max_fragments: int | None = None,
+):
+    """Differentiable tile rasterization of N Gaussians.
+
+    Args mirror the reference bridge (`renderer.py:17-36`): `means3d [N,3]`,
+    `shs [N,K,3]`, activated `opacity [N]` / `scaling [N,3]`, raw quaternion
+    `rotation [N,4]`, plus TPU-specific static dims and capacity args.
+    """
+    if max_fragments is None:
+        max_fragments = default_fragment_budget(
+            image_width, image_height, means3d.shape[0])
+    tiles_x, tiles_y = tile_grid(image_width, image_height)
+
+    splats = preprocess(
+        means3d, scaling, rotation, opacity, shs, sh_degree, camera,
+        image_width, image_height, scale_modifier, alive=alive,
+        colors_precomp=colors_precomp,
+    )
+    if means2d_offset is not None:
+        # Densification-stat hook: offset is zeros; its cotangent is
+        # dL/dmeans2d in the reference's scaled-NDC units.
+        scale = jnp.array([0.5 * image_width, 0.5 * image_height], jnp.float32)
+        splats = splats._replace(mean2d=splats.mean2d + means2d_offset / scale)
+
+    binning = bin_splats(
+        jax.lax.stop_gradient(splats.mean2d),
+        jax.lax.stop_gradient(splats.depth),
+        splats.radius, splats.visible,
+        tiles_x, tiles_y, max_fragments,
+    )
+
+    records = _pack_records(splats)  # [16, N+1]
+    padded = jnp.take(records, binning.padded_gid, axis=1)  # differentiable
+    tile_out = rasterize_tiles(
+        padded, binning.tile_starts, binning.tile_nchunks, tiles_x)
+    img = tiles_to_image(tile_out, tiles_x, tiles_y, image_width, image_height)
+
+    rgb = img[:, :, 0:3]
+    depth = img[:, :, 3]
+    normal = img[:, :, 4:7]
+    alpha = img[:, :, 7]
+    if bg is not None:
+        rgb = rgb + (1.0 - alpha)[:, :, None] * bg[None, None, :]
+
+    return {
+        "rendered_image": rgb,
+        "rendered_depth": depth,
+        "rendered_normal": normal,
+        "rendered_alpha": alpha,
+        "radii": splats.radius,
+        "visibility_filter": splats.radius > 0,
+        "num_fragments": binning.num_fragments,
+        "overflow": binning.overflow,
+    }

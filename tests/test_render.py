@@ -1,0 +1,181 @@
+"""Rasterizer correctness: Pallas tile kernel vs the pure-jnp slow-gold
+compositor, and gradient checks (SURVEY.md §4 item (b); BASELINE.json
+configs[0]: forward + backward grad check on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rodygs_tpu.ops.sh import rgb2sh
+from rodygs_tpu.render.binning import bin_splats, tile_grid
+from rodygs_tpu.render.camera import make_camera
+from rodygs_tpu.render.composite_ref import composite_reference
+from rodygs_tpu.render.preprocess import preprocess
+from rodygs_tpu.render.rasterize import render
+
+W, H = 64, 48
+
+
+def make_scene(n=300, seed=0, sh_extra=False):
+    rng = np.random.default_rng(seed)
+    means = rng.uniform([-1.5, -1.0, 2.0], [1.5, 1.0, 6.0], size=(n, 3)).astype(np.float32)
+    scales = np.exp(rng.uniform(-3.2, -1.8, size=(n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.2, 0.95, size=(n,)).astype(np.float32)
+    k = 16
+    shs = np.zeros((n, k, 3), dtype=np.float32)
+    shs[:, 0] = np.asarray(rgb2sh(rng.uniform(0.1, 0.9, size=(n, 3)).astype(np.float32)))
+    if sh_extra:
+        shs[:, 1:] = rng.normal(0, 0.05, size=(n, k - 1, 3)).astype(np.float32)
+    cam = make_camera([1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 0.9, 0.7, 0.0)
+    return (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs), cam)
+
+
+class TestForwardVsGold:
+    @pytest.mark.parametrize("sh_degree,sh_extra", [(0, False), (3, True)])
+    def test_kernel_matches_reference(self, sh_degree, sh_extra):
+        means, scales, quats, opac, shs, cam = make_scene(sh_extra=sh_extra)
+        splats = preprocess(means, scales, quats, opac, shs, sh_degree, cam, W, H)
+        gold = composite_reference(splats, W, H)
+        out = render(means, shs, opac, scales, quats, cam, sh_degree, W, H)
+        assert not bool(out["overflow"])
+        np.testing.assert_allclose(
+            out["rendered_image"], gold["rendered_image"], atol=2e-5)
+        np.testing.assert_allclose(
+            out["rendered_depth"], gold["rendered_depth"], atol=2e-4)
+        np.testing.assert_allclose(
+            out["rendered_alpha"], gold["rendered_alpha"], atol=2e-5)
+        np.testing.assert_allclose(
+            out["rendered_normal"], gold["rendered_normal"], atol=2e-4)
+
+    def test_background_compositing(self):
+        means, scales, quats, opac, shs, cam = make_scene(n=50)
+        bg = jnp.array([0.2, 0.4, 0.6])
+        out = render(means, shs, opac, scales, quats, cam, 0, W, H, bg=bg)
+        # Pixels with zero alpha must equal bg exactly.
+        alpha = np.asarray(out["rendered_alpha"])
+        img = np.asarray(out["rendered_image"])
+        empty = alpha < 1e-6
+        assert empty.any()
+        np.testing.assert_allclose(img[empty], np.broadcast_to(bg, img[empty].shape), atol=1e-6)
+
+    def test_radii_and_visibility(self):
+        means, scales, quats, opac, shs, cam = make_scene(n=100)
+        # Push half behind the camera.
+        means = means.at[:50, 2].set(-5.0)
+        out = render(means, shs, opac, scales, quats, cam, 0, W, H)
+        vis = np.asarray(out["visibility_filter"])
+        assert not vis[:50].any()
+        assert vis[50:].sum() > 0
+
+
+class TestBackward:
+    def test_grads_match_gold(self):
+        means, scales, quats, opac, shs, cam = make_scene(n=120, sh_extra=True)
+        target = jnp.zeros((H, W, 3)) + 0.3
+
+        def loss_kernel(means, scales, quats, opac, shs, cam):
+            out = render(means, shs, opac, scales, quats, cam, 2, W, H)
+            return jnp.mean((out["rendered_image"] - target) ** 2) + 0.1 * jnp.mean(
+                out["rendered_depth"]) + 0.05 * jnp.mean(out["rendered_alpha"])
+
+        def loss_gold(means, scales, quats, opac, shs, cam):
+            splats = preprocess(means, scales, quats, opac, shs, 2, cam, W, H)
+            out = composite_reference(splats, W, H)
+            return jnp.mean((out["rendered_image"] - target) ** 2) + 0.1 * jnp.mean(
+                out["rendered_depth"]) + 0.05 * jnp.mean(out["rendered_alpha"])
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4, 5))(
+            means, scales, quats, opac, shs, cam)
+        gg = jax.grad(loss_gold, argnums=(0, 1, 2, 3, 4, 5))(
+            means, scales, quats, opac, shs, cam)
+        names = ["means", "scales", "quats", "opac", "shs", "camera"]
+        for name, a, b in zip(names[:5], gk[:5], gg[:5]):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / scale, b / scale, atol=5e-4, err_msg=name)
+        # Camera pytree grads (pose!): compare leaf by leaf.
+        for la, lb in zip(jax.tree.leaves(gk[5]), jax.tree.leaves(gg[5])):
+            la, lb = np.asarray(la), np.asarray(lb)
+            scale = np.abs(lb).max() + 1e-8
+            np.testing.assert_allclose(la / scale, lb / scale, atol=5e-4)
+
+    def test_pose_grads_nonzero(self):
+        means, scales, quats, opac, shs, cam = make_scene(n=60)
+
+        def loss(cam):
+            out = render(means, shs, opac, scales, quats, cam, 0, W, H)
+            return jnp.sum(out["rendered_image"])
+
+        g = jax.grad(loss)(cam)
+        assert np.abs(np.asarray(g.q_c2w)).max() > 0
+        assert np.abs(np.asarray(g.t_c2w)).max() > 0
+
+    def test_means2d_offset_grad_is_screen_grad(self):
+        means, scales, quats, opac, shs, cam = make_scene(n=40)
+        zero = jnp.zeros((40, 2))
+
+        def loss(off):
+            out = render(means, shs, opac, scales, quats, cam, 0, W, H,
+                         means2d_offset=off)
+            return jnp.mean((out["rendered_image"] - 0.5) ** 2)
+
+        g = jax.grad(loss)(zero)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+    def test_finite_difference_opacity(self):
+        means, scales, quats, opac, shs, cam = make_scene(n=30)
+
+        def loss(opac):
+            out = render(means, shs, opac, scales, quats, cam, 0, W, H)
+            return jnp.sum(out["rendered_image"] ** 2)
+
+        g = np.asarray(jax.grad(loss)(opac))
+        eps = 1e-3
+        for i in [0, 7, 19]:
+            lp = float(loss(opac.at[i].add(eps)))
+            lm = float(loss(opac.at[i].add(-eps)))
+            fd = (lp - lm) / (2 * eps)
+            np.testing.assert_allclose(g[i], fd, rtol=0.05, atol=1e-3)
+
+
+class TestBinning:
+    def test_fragment_counts(self):
+        means, scales, quats, opac, shs, cam = make_scene(n=80)
+        splats = preprocess(means, scales, quats, opac, shs, 0, cam, W, H)
+        tx, ty = tile_grid(W, H)
+        b = bin_splats(splats.mean2d, splats.depth, splats.radius,
+                       splats.visible, tx, ty, max_fragments=1 << 15)
+        assert not bool(b.overflow)
+        # every real (non-dummy) slot id is < N
+        gid = np.asarray(b.padded_gid)
+        n = 80
+        real = gid[gid < n]
+        assert len(real) == int(b.num_fragments)
+        # padded ranges are chunk-aligned and within bounds
+        starts = np.asarray(b.tile_starts)
+        nchunks = np.asarray(b.tile_nchunks)
+        assert (starts % 128 == 0).all()
+        ends = starts + nchunks * 128
+        assert (ends <= len(gid)).all()
+
+    def test_depth_order_within_tiles(self):
+        means, scales, quats, opac, shs, cam = make_scene(n=80)
+        splats = preprocess(means, scales, quats, opac, shs, 0, cam, W, H)
+        tx, ty = tile_grid(W, H)
+        b = bin_splats(splats.mean2d, splats.depth, splats.radius,
+                       splats.visible, tx, ty, max_fragments=1 << 15)
+        gid = np.asarray(b.padded_gid)
+        depth = np.asarray(splats.depth)
+        starts = np.asarray(b.tile_starts)
+        nchunks = np.asarray(b.tile_nchunks)
+        for t in range(len(starts)):
+            seg = gid[starts[t]:starts[t] + nchunks[t] * 128]
+            seg = seg[seg < 80]
+            if len(seg) > 1:
+                d = depth[seg]
+                assert (np.diff(d) >= -1e-6).all()
