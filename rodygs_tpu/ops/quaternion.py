@@ -11,8 +11,12 @@ import jax.numpy as jnp
 
 
 def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """Normalize quaternion(s) [..., 4] to unit norm."""
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    """Normalize quaternion(s) [..., 4] to unit norm.
+
+    Uses sqrt(|q|^2 + eps^2) rather than max(|q|, eps): the gradient of the
+    norm at q=0 is NaN even under a max guard, and zero quaternions do occur
+    (dead capacity slots)."""
+    return q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + eps * eps)
 
 
 def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
@@ -23,7 +27,8 @@ def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
     (matches the reference's differentiable `quaternion_to_matrix`).
     """
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    two_s = 2.0 / jnp.sum(q * q, axis=-1)
+    # eps guards the q=0 case (dead capacity slots) against inf/NaN leakage.
+    two_s = 2.0 / (jnp.sum(q * q, axis=-1) + 1e-24)
     o = jnp.stack(
         [
             1 - two_s * (y * y + z * z),

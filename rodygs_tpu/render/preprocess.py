@@ -72,14 +72,24 @@ def preprocess(
     P = proj_matrix(camera)
     full_proj = P @ w2c
 
+    # NaN hygiene: dead capacity slots hold all-zero params (quat 0, xyz 0).
+    # Any inf/NaN produced for them — even though they are culled — poisons
+    # gradients of everything that sums over Gaussians (the camera pose!)
+    # through the 0-cotangent * NaN-primal trap. Substitute a harmless unit
+    # quaternion; depth-div-by-zero is guarded below with the same pattern.
+    if alive is not None:
+        unit_q = jnp.array([1.0, 0.0, 0.0, 0.0], quats.dtype)
+        quats = jnp.where(alive[:, None], quats, unit_q)
+
     # View-space positions.
     t = means3d @ w2c[:3, :3].T + w2c[:3, 3]  # [N,3]
     depth = t[:, 2]
+    depth_ok = depth >= NEAR_CULL_Z
 
     # Clip-space -> NDC -> pixels.
     hom = means3d @ full_proj[:3, :3].T + full_proj[:3, 3]
     hom_w = means3d @ full_proj[3, :3] + full_proj[3, 3]
-    inv_w = 1.0 / (hom_w + 1e-7)
+    inv_w = 1.0 / jnp.where(depth_ok, hom_w + 1e-7, 1.0)
     ndc = hom * inv_w[:, None]  # [N,3]
     # ndc2Pix from the reference kernel: ((ndc + 1) * S - 1) * 0.5
     px = ((ndc[:, 0] + 1.0) * image_width - 1.0) * 0.5
@@ -93,7 +103,7 @@ def preprocess(
     focal_y = image_height / (2.0 * tan_y)
     limx = 1.3 * tan_x
     limy = 1.3 * tan_y
-    tz = depth
+    tz = jnp.where(depth_ok, depth, 1.0)  # guarded divisor (see NaN hygiene)
     txtz = jnp.clip(t[:, 0] / tz, -limx, limx)
     tytz = jnp.clip(t[:, 1] / tz, -limy, limy)
     tx = txtz * tz
@@ -131,8 +141,10 @@ def preprocess(
     if colors_precomp is None:
         campos = camera_center(camera)
         dirs = means3d - campos[None, :]
-        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=1, keepdims=True), 1e-8)
-        rgb = sh_to_rgb_clamped(sh_degree, shs, dirs)
+        # sqrt(x+eps) instead of max(norm, eps): d||v||/dv at v=0 is NaN even
+        # under a max guard (0-cotangent trap again).
+        dn = jnp.sqrt(jnp.sum(dirs * dirs, axis=1, keepdims=True) + 1e-16)
+        rgb = sh_to_rgb_clamped(sh_degree, shs, dirs / dn)
     else:
         rgb = colors_precomp
 
@@ -147,7 +159,7 @@ def preprocess(
     flip = jnp.where(normal_view[:, 2:3] > 0, -1.0, 1.0)
     normal_view = normal_view * flip
 
-    visible = (depth >= NEAR_CULL_Z) & det_ok & (radius_f > 0)
+    visible = depth_ok & det_ok & (radius_f > 0)
     if alive is not None:
         visible = visible & alive
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)

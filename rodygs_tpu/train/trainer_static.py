@@ -1,0 +1,302 @@
+"""Static 3DGS trainer: jit-compiled train step over the fixed-capacity store.
+
+Capability parity with `ThreeDGSTrainer` (`src/trainer/rodygs_static.py`):
+six-group Adam (eps 1e-15) with the exponential xyz LR schedule, per-step
+camera pose optimization, adaptive density control on its schedule, opacity
+reset, SH-degree ramp, densification statistics from screen-space mean
+gradients.
+
+TPU-first structure: the whole iteration — pose-differentiable render, loss,
+backward, Adam for Gaussians AND cameras, stat accumulation — is ONE jitted
+XLA program with static shapes. Host code only picks the step variant
+(loss active-set x SH degree) and triggers the (also jitted) densify pass on
+its interval. The reference's host-side optimizer surgery, LR pokes, and
+`.cuda()` traffic have no equivalent here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import gaussians as G
+from ..ops.schedules import expon_lr
+from ..render.camera import Camera
+from ..render.rasterize import render
+from .densify import DensifyStats, accumulate_stats, densify_and_prune, init_stats, reset_opacity
+from .losses import MultiLoss
+from .optim import AdamState, CameraPoses, adam_init, adam_update, camera_lr_tree
+
+
+@dataclasses.dataclass(frozen=True)
+class StaticTrainerConfig:
+    """Hyperparameters (defaults = `configs/train/train_kubric_mrig.yaml`
+    static trainer block)."""
+
+    num_iterations: int = 20000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 1.6e-6
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 20000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    percent_dense: float = 0.01
+    densification_interval: int = 100
+    opacity_reset_interval: int = 5_000_000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 20000
+    densify_grad_threshold: float = 0.0002
+    # camera optimizer (None-like lrs of 0 disable movement, not the machinery)
+    camera_rotation_lr: float = 1e-5
+    camera_translation_lr: float = 1e-6
+    camera_lr_warmup: int = 0
+    camera_total_steps: int = 20000
+    # model
+    sh_degree: int = 3
+    isotropic: bool = False
+    # render
+    image_width: int = 256
+    image_height: int = 256
+    max_fragments: int | None = None
+
+
+class FrameBatch(NamedTuple):
+    """One training view (device arrays; H/W static via config)."""
+
+    gt_image: jnp.ndarray              # [H, W, 3]
+    gt_depth: jnp.ndarray | None       # [H, W]
+    motion_mask: jnp.ndarray | None    # [H, W]
+    frame_idx: jnp.ndarray             # [] int32 — selects the pose row
+    time: jnp.ndarray                  # [] float
+    fovx: jnp.ndarray                  # [] float
+    fovy: jnp.ndarray                  # [] float
+
+
+class StaticTrainState(NamedTuple):
+    store: G.GaussianStore
+    opt: AdamState                     # over GaussianParams
+    stats: DensifyStats
+    poses: CameraPoses
+    cam_opt: AdamState
+
+
+def init_static_state(store: G.GaussianStore, poses: CameraPoses) -> StaticTrainState:
+    return StaticTrainState(
+        store=store,
+        opt=adam_init(store.params),
+        stats=init_stats(G.capacity_of(store)),
+        poses=poses,
+        cam_opt=adam_init(poses),
+    )
+
+
+def make_camera_from_poses(poses: CameraPoses, batch: FrameBatch) -> Camera:
+    return Camera(
+        q_c2w=poses.q_c2w[batch.frame_idx],
+        t_c2w=poses.t_c2w[batch.frame_idx],
+        fovx=batch.fovx,
+        fovy=batch.fovy,
+        time=batch.time,
+    )
+
+
+def _param_lr_tree(cfg: StaticTrainerConfig, iteration, spatial_lr_scale: float):
+    """The six named param-group LRs (`optim_setup`), xyz on its schedule."""
+    xyz_lr = expon_lr(
+        iteration,
+        cfg.position_lr_init * spatial_lr_scale,
+        cfg.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=cfg.position_lr_delay_mult,
+        max_steps=cfg.position_lr_max_steps,
+    )
+    return G.GaussianParams(
+        xyz=xyz_lr,
+        features_dc=cfg.feature_lr,
+        features_rest=cfg.feature_lr / 20.0,
+        scaling=cfg.scaling_lr,
+        rotation=cfg.rotation_lr,
+        opacity=cfg.opacity_lr,
+    )
+
+
+class ThreeDGSTrainer:
+    """Host-side orchestration around the jitted step.
+
+    The jit cache is keyed on (active-set, sh_degree): each distinct loss
+    gating pattern and SH ramp stage compiles once.
+    """
+
+    def __init__(self, cfg: StaticTrainerConfig, loss: MultiLoss,
+                 store: G.GaussianStore, poses: CameraPoses,
+                 spatial_lr_scale: float):
+        self.cfg = cfg
+        self.loss = loss
+        self.spatial_lr_scale = float(spatial_lr_scale)
+        self.state = init_static_state(store, poses)
+        self.active_sh_degree = 0
+        self._step_fn = functools.partial(
+            jax.jit, static_argnames=("active", "sh_degree"))(self._step_impl)
+        self._densify_fn = jax.jit(self._densify_impl,
+                                   static_argnames=("max_screen_size",))
+
+    # --- jitted bodies ----------------------------------------------------
+
+    def _render_ctx(self, params: G.GaussianParams, alive, poses, offset,
+                    batch: FrameBatch, sh_degree: int):
+        cfg = self.cfg
+        camera = make_camera_from_poses(poses, batch)
+        xyz = params.xyz
+        shs = G.get_features(params)
+        opacity = G.get_opacity(params)
+        scaling = G.get_scaling(params, cfg.isotropic)
+        out = render(
+            xyz, shs, opacity, scaling, params.rotation, camera,
+            sh_degree, cfg.image_width, cfg.image_height,
+            alive=alive, means2d_offset=offset,
+            max_fragments=cfg.max_fragments,
+        )
+        return out, camera
+
+    def _step_impl(self, state: StaticTrainState, batch: FrameBatch,
+                   rng, iteration, active, sh_degree: int):
+        cfg = self.cfg
+
+        def loss_fn(params, poses, offset):
+            out, _ = self._render_ctx(params, state.store.alive, poses,
+                                      offset, batch, sh_degree)
+            ctx = {
+                "pred_img": out["rendered_image"],
+                "gt_img": batch.gt_image,
+                "pred_depth": out["rendered_depth"],
+                "gt_depth": batch.gt_depth,
+                "pred_normal": out["rendered_normal"],
+                "motion_mask": batch.motion_mask,
+                "alive": state.store.alive,
+                "rng": rng,
+            }
+            total, loss_dict = self.loss(ctx, active)
+            aux = {
+                "radii": out["radii"],
+                "visible": out["visibility_filter"],
+                "loss_dict": loss_dict,
+                "overflow": out["overflow"],
+            }
+            return total, aux
+
+        offset0 = jnp.zeros((G.capacity_of(state.store), 2), jnp.float32)
+        (total, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
+                                                 has_aux=True)(
+            state.store.params, state.poses, offset0)
+        g_params, g_poses, g_offset = grads
+
+        lr_tree = _param_lr_tree(cfg, iteration, self.spatial_lr_scale)
+        new_params, new_opt = adam_update(
+            g_params, state.opt, state.store.params, lr_tree)
+
+        cam_lrs = camera_lr_tree(
+            iteration, cfg.camera_rotation_lr, cfg.camera_translation_lr,
+            cfg.camera_lr_warmup, cfg.camera_total_steps)
+        new_poses, new_cam_opt = adam_update(
+            g_poses, state.cam_opt, state.poses, cam_lrs)
+
+        new_stats = accumulate_stats(
+            state.stats, g_offset, aux["radii"].astype(jnp.float32),
+            aux["visible"])
+
+        new_state = StaticTrainState(
+            store=state.store._replace(params=new_params),
+            opt=new_opt,
+            stats=new_stats,
+            poses=new_poses,
+            cam_opt=new_cam_opt,
+        )
+        metrics = {"loss": total, "overflow": aux["overflow"],
+                   **aux["loss_dict"]}
+        return new_state, metrics
+
+    def _densify_impl(self, state: StaticTrainState, key,
+                      max_screen_size):
+        cfg = self.cfg
+        aux = {
+            "mu_params": state.opt.mu,
+            "nu_params": state.opt.nu,
+        }
+        new_store, new_aux, new_stats, info = densify_and_prune(
+            state.store, aux, state.stats, key,
+            max_grad=cfg.densify_grad_threshold,
+            min_opacity=0.005,
+            extent=self.spatial_lr_scale,
+            percent_dense=cfg.percent_dense,
+            max_screen_size=max_screen_size,
+            isotropic=cfg.isotropic,
+        )
+        new_opt = AdamState(mu=new_aux["mu_params"], nu=new_aux["nu_params"],
+                            count=state.opt.count)
+        return state._replace(store=new_store, opt=new_opt,
+                              stats=new_stats), info
+
+    # --- host API ---------------------------------------------------------
+
+    def maybe_ramp_sh(self, iteration: int, start: int = 0, period: int = 1000):
+        """`oneupSHdegree` on its schedule. The standalone static trainer
+        ramps every 1000 iters from 0 (`rodygs_static.py:372-373`); the joint
+        trainer passes its own (start, period)."""
+        if iteration > start and iteration % period == 0:
+            self.active_sh_degree = G.sh_degree_up(
+                self.active_sh_degree, self.cfg.sh_degree)
+
+    def train_iteration(self, batch: FrameBatch, iteration: int, rng) -> dict:
+        active = self.loss.active_set(iteration)
+        self.state, metrics = self._step_fn(
+            self.state, batch, rng, jnp.asarray(iteration, jnp.float32),
+            active=active, sh_degree=self.active_sh_degree)
+
+        cfg = self.cfg
+        info = None
+        if iteration < cfg.densify_until_iter:
+            if (cfg.densification_interval != 0
+                    and iteration > cfg.densify_from_iter
+                    and iteration % cfg.densification_interval == 0):
+                size_threshold = (
+                    20.0 if iteration > cfg.opacity_reset_interval else None)
+                key = jax.random.fold_in(rng, 1)
+                self.state, info = self._densify_fn(
+                    self.state, key, max_screen_size=size_threshold)
+            if (cfg.opacity_reset_interval != 0
+                    and iteration % cfg.opacity_reset_interval == 0):
+                store, mu_op, nu_op = reset_opacity(
+                    self.state.store, self.state.opt.mu.opacity,
+                    self.state.opt.nu.opacity)
+                self.state = self.state._replace(
+                    store=store,
+                    opt=self.state.opt._replace(
+                        mu=self.state.opt.mu._replace(opacity=mu_op),
+                        nu=self.state.opt.nu._replace(opacity=nu_op)))
+        if info is not None:
+            metrics["densify"] = info
+        return metrics
+
+    def state_dict(self, iteration: int) -> dict[str, Any]:
+        """Checkpoint payload (shape of `rodygs_static.py:321-347`)."""
+        return {
+            "iteration": iteration,
+            "active_sh_degree": self.active_sh_degree,
+            "model": G.to_state_dict(self.state.store),
+            "optim": {
+                "max_radii2D": self.state.stats.max_radii2d,
+                "xyz_gradient_accum": self.state.stats.grad_accum,
+                "denom": self.state.stats.denom,
+                "adam": self.state.opt,
+            },
+            "camera": {
+                "q_c2w": self.state.poses.q_c2w,
+                "t_c2w": self.state.poses.t_c2w,
+            },
+            "spatial_lr_scale": self.spatial_lr_scale,
+        }

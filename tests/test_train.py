@@ -1,0 +1,319 @@
+"""Training-stack tests: Adam parity with torch, densify semantics, and the
+golden e2e check — static training on a synthetic scene improves PSNR
+(SURVEY.md §4 item (c); BASELINE.json configs[1])."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rodygs_tpu.models import gaussians as G
+from rodygs_tpu.ops.image import psnr
+from rodygs_tpu.ops.sh import rgb2sh, sh2rgb
+from rodygs_tpu.render.camera import make_camera
+from rodygs_tpu.render.composite_ref import composite_reference
+from rodygs_tpu.render.preprocess import preprocess
+from rodygs_tpu.train.densify import (
+    DensifyStats, densify_and_prune, init_stats, reset_opacity)
+from rodygs_tpu.train.losses import LossTerm, MultiLoss
+from rodygs_tpu.train.optim import CameraPoses, adam_init, adam_update
+from rodygs_tpu.train.trainer_static import (
+    FrameBatch, StaticTrainerConfig, ThreeDGSTrainer)
+
+W, H = 64, 48
+
+
+class TestAdam:
+    def test_matches_torch_adam(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        p0 = rng.normal(size=(50, 3)).astype(np.float32)
+        grads = [rng.normal(size=(50, 3)).astype(np.float32) for _ in range(5)]
+
+        tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+        topt = torch.optim.Adam([tp], lr=1e-2, eps=1e-15)
+        for g in grads:
+            tp.grad = torch.from_numpy(g)
+            topt.step()
+
+        params = jnp.asarray(p0)
+        state = adam_init(params)
+        for g in grads:
+            params, state = adam_update(jnp.asarray(g), state, params, 1e-2)
+        np.testing.assert_allclose(params, tp.detach().numpy(), atol=1e-5)
+
+    def test_per_leaf_lr(self):
+        params = {"a": jnp.ones(3), "b": jnp.ones(3)}
+        state = adam_init(params)
+        grads = {"a": jnp.ones(3), "b": jnp.ones(3)}
+        new, _ = adam_update(grads, state, params, {"a": 0.1, "b": 0.0})
+        assert float(jnp.abs(new["a"] - 1.0).max()) > 0.05
+        np.testing.assert_allclose(new["b"], 1.0)
+
+
+def tiny_store(n=20, cap=64, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(0.2, 0.8, size=(n, 3)).astype(np.float32)
+    return G.from_point_cloud(pts, cols, sh_degree=1, capacity=cap)
+
+
+class TestDensify:
+    def _aux(self, store):
+        return {"mu_params": jax.tree.map(jnp.zeros_like, store.params),
+                "nu_params": jax.tree.map(jnp.ones_like, store.params)}
+
+    def test_clone_small_high_grad(self):
+        store = tiny_store()
+        cap = G.capacity_of(store)
+        stats = DensifyStats(
+            grad_accum=jnp.zeros(cap).at[3].set(1.0),
+            denom=jnp.ones(cap),
+            max_radii2d=jnp.zeros(cap))
+        # small scale => clone path (scale exp(log) small vs extent)
+        new_store, aux, new_stats, info = densify_and_prune(
+            store, self._aux(store), stats, jax.random.key(0),
+            max_grad=0.5, min_opacity=0.005, extent=1000.0,
+            percent_dense=0.01, max_screen_size=None)
+        assert int(info.num_cloned) == 1
+        assert int(info.num_split) == 0
+        assert int(G.num_alive(new_store)) == int(G.num_alive(store)) + 1
+        # the clone landed in a previously-dead slot with identical xyz
+        alive_new = np.asarray(new_store.alive) & ~np.asarray(store.alive)
+        slot = np.nonzero(alive_new)[0]
+        assert len(slot) == 1
+        np.testing.assert_allclose(
+            new_store.params.xyz[slot[0]], store.params.xyz[3])
+        # Adam surgery: new slot has zero moments (nu was all-ones before)
+        assert float(aux["nu_params"].xyz[slot[0]].max()) == 0.0
+
+    def test_split_large_high_grad(self):
+        store = tiny_store()
+        cap = G.capacity_of(store)
+        # make gaussian 5 huge => split path
+        store = store._replace(params=store.params._replace(
+            scaling=store.params.scaling.at[5].set(jnp.log(10.0))))
+        stats = DensifyStats(
+            grad_accum=jnp.zeros(cap).at[5].set(1.0),
+            denom=jnp.ones(cap), max_radii2d=jnp.zeros(cap))
+        new_store, _, _, info = densify_and_prune(
+            store, self._aux(store), stats, jax.random.key(0),
+            max_grad=0.5, min_opacity=0.005, extent=1.0,
+            percent_dense=0.01, max_screen_size=None)
+        assert int(info.num_split) == 1
+        # parent removed, two children added => net +1 (slots may be recycled)
+        assert int(G.num_alive(new_store)) == int(G.num_alive(store)) + 1
+        alive = np.asarray(new_store.alive)
+        scales = np.exp(np.asarray(new_store.params.scaling))[alive]
+        # the log(10) parent no longer exists; exactly 2 children at 10/1.6
+        assert not np.isclose(scales, 10.0, rtol=1e-4).any()
+        n_children = np.isclose(scales, 10.0 / 1.6, rtol=1e-4).all(axis=1).sum()
+        assert n_children == 2
+
+    def test_prune_low_opacity(self):
+        store = tiny_store()
+        cap = G.capacity_of(store)
+        store = store._replace(params=store.params._replace(
+            opacity=store.params.opacity.at[7].set(-20.0)))  # sigmoid ~ 0
+        stats = init_stats(cap)
+        new_store, _, _, info = densify_and_prune(
+            store, self._aux(store), stats, jax.random.key(0),
+            max_grad=0.5, min_opacity=0.005, extent=1.0,
+            percent_dense=0.01, max_screen_size=None)
+        assert int(info.num_pruned) == 1
+        assert not bool(new_store.alive[7])
+        assert int(G.num_alive(new_store)) == int(G.num_alive(store)) - 1
+
+    def test_opacity_reset(self):
+        store = tiny_store()
+        mu = jnp.ones_like(store.params.opacity)
+        nu = jnp.ones_like(store.params.opacity)
+        new_store, mu2, nu2 = reset_opacity(store, mu, nu)
+        op = np.asarray(G.get_opacity(new_store.params))[np.asarray(store.alive)]
+        assert (op <= 0.0101).all()
+        assert float(mu2.max()) == 0.0 and float(nu2.max()) == 0.0
+
+    def test_capacity_overflow_drops(self):
+        store = tiny_store(n=60, cap=64)
+        cap = 64
+        stats = DensifyStats(
+            grad_accum=jnp.ones(cap), denom=jnp.ones(cap),
+            max_radii2d=jnp.zeros(cap))
+        new_store, _, _, info = densify_and_prune(
+            store, self._aux(store), stats, jax.random.key(0),
+            max_grad=0.0001, min_opacity=0.005, extent=1000.0,
+            percent_dense=0.01, max_screen_size=None)
+        assert int(info.dropped) > 0
+        assert int(G.num_alive(new_store)) <= cap
+
+
+def make_gt_scene(n=60, seed=3, return_full=False):
+    """A 'ground-truth' Gaussian scene rendered into training views."""
+    rng = np.random.default_rng(seed)
+    means = rng.uniform([-1.2, -0.9, 2.5], [1.2, 0.9, 4.5], size=(n, 3)).astype(np.float32)
+    scales = np.full((n, 3), 0.12, np.float32) * rng.uniform(0.6, 1.4, size=(n, 3)).astype(np.float32)
+    quats = np.tile(np.array([[1.0, 0, 0, 0]], np.float32), (n, 1))
+    opac = rng.uniform(0.6, 0.95, size=(n,)).astype(np.float32)
+    cols = rng.uniform(0.1, 0.9, size=(n, 3)).astype(np.float32)
+    shs = np.zeros((n, 4, 3), np.float32)
+    shs[:, 0] = np.asarray(rgb2sh(cols))
+    views = []
+    for i, ang in enumerate(np.linspace(-0.15, 0.15, 4)):
+        q = np.array([np.cos(ang / 2), 0, np.sin(ang / 2), 0], np.float32)
+        t = np.array([np.sin(ang) * 3.0, 0.0, 0.0], np.float32)
+        cam = make_camera(q, t, 0.9, 0.7, time=i / 4)
+        splats = preprocess(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs), 1, cam, W, H)
+        gold = composite_reference(splats, W, H)
+        views.append((cam, np.asarray(gold["rendered_image"]),
+                      np.asarray(gold["rendered_depth"])))
+    if return_full:
+        return (means, scales, quats, opac, cols), views
+    return (means, cols), views
+
+
+class TestStaticTraining:
+    def test_training_improves_psnr(self):
+        (gt_means, gt_cols), views = make_gt_scene()
+        # init from noisy point cloud of the GT means
+        rng = np.random.default_rng(0)
+        pts = gt_means + rng.normal(0, 0.05, gt_means.shape).astype(np.float32)
+        store = G.from_point_cloud(pts, gt_cols, sh_degree=1, capacity=256)
+
+        poses = CameraPoses(
+            q_c2w=jnp.stack([v[0].q_c2w for v in views]),
+            t_c2w=jnp.stack([v[0].t_c2w for v in views]),
+        )
+        loss = MultiLoss([
+            LossTerm("d_ssim", 0.2, "SSIMLoss"),
+            LossTerm("l1", 0.8, "L1Loss"),
+        ])
+        cfg = StaticTrainerConfig(
+            num_iterations=120, image_width=W, image_height=H,
+            sh_degree=1,
+            densify_from_iter=30, densification_interval=50,
+            densify_until_iter=120, densify_grad_threshold=0.01,
+            position_lr_max_steps=120, camera_total_steps=120,
+            camera_rotation_lr=0.0, camera_translation_lr=0.0,
+        )
+        trainer = ThreeDGSTrainer(cfg, loss, store, poses, spatial_lr_scale=3.0)
+
+        def render_psnr():
+            vals = []
+            for cam, gt_img, _ in views:
+                p = trainer.state.store.params
+                splats = preprocess(
+                    p.xyz, G.get_scaling(p), p.rotation,
+                    G.get_opacity(p), G.get_features(p),
+                    trainer.active_sh_degree, cam, W, H,
+                    alive=trainer.state.store.alive)
+                out = composite_reference(splats, W, H)
+                vals.append(float(psnr(out["rendered_image"], jnp.asarray(gt_img))))
+            return np.mean(vals)
+
+        psnr_before = render_psnr()
+        key = jax.random.key(0)
+        for it in range(1, cfg.num_iterations + 1):
+            cam, gt_img, gt_depth = views[(it - 1) % len(views)]
+            batch = FrameBatch(
+                gt_image=jnp.asarray(gt_img),
+                gt_depth=jnp.asarray(gt_depth),
+                motion_mask=None,
+                frame_idx=jnp.asarray((it - 1) % len(views), jnp.int32),
+                time=cam.time, fovx=cam.fovx, fovy=cam.fovy)
+            key, sub = jax.random.split(key)
+            metrics = trainer.train_iteration(batch, it, sub)
+            assert np.isfinite(float(metrics["loss"]))
+        psnr_after = render_psnr()
+        assert psnr_after > psnr_before + 2.0, (psnr_before, psnr_after)
+
+    def test_pose_optimization_recovers_perturbation(self):
+        # Build a store that EXACTLY matches the GT scene so the true pose is
+        # the photometric optimum (from_point_cloud's scale/opacity priors
+        # would make the GT pose non-optimal and the test meaningless).
+        (means, scales, quats, opac, cols), views = make_gt_scene(
+            n=50, return_full=True)
+        n = 50
+        cap = 64
+        pad = cap - n
+        params = G.GaussianParams(
+            xyz=jnp.pad(jnp.asarray(means), ((0, pad), (0, 0))),
+            features_dc=jnp.pad(rgb2sh(jnp.asarray(cols))[:, None], ((0, pad), (0, 0), (0, 0))),
+            features_rest=jnp.zeros((cap, 3, 3)),
+            scaling=jnp.pad(jnp.log(jnp.asarray(scales)), ((0, pad), (0, 0))),
+            rotation=jnp.pad(jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (n, 1)), ((0, pad), (0, 0))),
+            opacity=jnp.pad(G.inverse_sigmoid(jnp.asarray(opac))[:, None], ((0, pad), (0, 0))),
+        )
+        store = G.GaussianStore(
+            params=params, alive=jnp.arange(cap) < n,
+            time=jnp.ones(cap), time_ind=jnp.zeros(cap, jnp.int32))
+        # Perturb frame-0 pose; GT gaussians fixed via tiny LRs on params.
+        true_q = np.stack([np.asarray(v[0].q_c2w) for v in views])
+        true_t = np.stack([np.asarray(v[0].t_c2w) for v in views])
+        pert_t = true_t.copy()
+        pert_t[0] += np.array([0.03, -0.02, 0.01], np.float32)
+        poses = CameraPoses(q_c2w=jnp.asarray(true_q), t_c2w=jnp.asarray(pert_t))
+
+        loss = MultiLoss([LossTerm("l1", 1.0, "L1Loss")])
+        cfg = StaticTrainerConfig(
+            image_width=W, image_height=H, sh_degree=1,
+            densification_interval=0, densify_from_iter=10**9,
+            position_lr_init=0.0, position_lr_final=0.0,
+            feature_lr=0.0, opacity_lr=0.0, scaling_lr=0.0, rotation_lr=0.0,
+            camera_rotation_lr=0.0, camera_translation_lr=3e-3,
+            camera_total_steps=4000, camera_lr_warmup=0,
+        )
+        trainer = ThreeDGSTrainer(cfg, loss, store, poses, spatial_lr_scale=3.0)
+        err0 = float(np.linalg.norm(np.asarray(poses.t_c2w[0]) - true_t[0]))
+        key = jax.random.key(1)
+        for it in range(1, 81):
+            cam, gt_img, gt_depth = views[0]
+            batch = FrameBatch(
+                gt_image=jnp.asarray(gt_img), gt_depth=None, motion_mask=None,
+                frame_idx=jnp.asarray(0, jnp.int32),
+                time=cam.time, fovx=cam.fovx, fovy=cam.fovy)
+            key, sub = jax.random.split(key)
+            trainer.train_iteration(batch, it, sub)
+        err1 = float(np.linalg.norm(
+            np.asarray(trainer.state.poses.t_c2w[0]) - true_t[0]))
+        assert err1 < 0.6 * err0, (err0, err1)
+
+
+class TestMultiLoss:
+    def test_freq_start_gating(self):
+        ml = MultiLoss([
+            LossTerm("a", 1.0, "L1Loss", freq=1, start=0),
+            LossTerm("b", 1.0, "L1Loss", freq=5, start=0),
+            LossTerm("c", 1.0, "L1Loss", freq=1, start=100),
+        ])
+        assert ml.active_set(1) == (True, False, False)
+        assert ml.active_set(5) == (True, True, False)
+        assert ml.active_set(101) == (True, False, True)
+        # iteration > start (strict), like the reference
+        assert ml.active_set(100) == (True, True, False)
+
+    def test_weighted_sum(self):
+        ml = MultiLoss([
+            LossTerm("l1", 0.8, "L1Loss"),
+            LossTerm("ssim", 0.2, "SSIMLoss"),
+        ])
+        img = jnp.asarray(np.random.default_rng(0).uniform(size=(H, W, 3)), jnp.float32)
+        gt = jnp.asarray(np.random.default_rng(1).uniform(size=(H, W, 3)), jnp.float32)
+        ctx = {"pred_img": img, "gt_img": gt, "rng": jax.random.key(0)}
+        total, d = ml(ctx, (True, True))
+        np.testing.assert_allclose(
+            float(total), 0.8 * float(d["l1"]) + 0.2 * float(d["ssim"]), rtol=1e-6)
+
+    def test_from_config(self):
+        cfgs = [
+            {"name": "d_ssim", "weight": 0.2,
+             "target": "src.trainer.losses.SSIMLoss", "params": {"mode": "all"}},
+            {"name": "rigidity", "weight": 0.5, "freq": 5,
+             "target": "src.trainer.losses.RigidityLoss",
+             "params": {"mode": ["distance_preserving", "surface"], "K": 8}},
+        ]
+        ml = MultiLoss.from_config(cfgs)
+        assert ml.terms[0].fn_name == "SSIMLoss"
+        assert ml.terms[1].freq == 5
+        assert dict(ml.terms[1].params)["K"] == 8
