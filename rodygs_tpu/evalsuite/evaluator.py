@@ -1,0 +1,188 @@
+"""End-to-end evaluator: checkpoint loading, per-view rendering + metrics,
+train-pose ATE/RPE, result.yaml + PNG + video export.
+
+Capability parity with `RoDyGSEvaluator` (`src/evaluator/eval.py:32-354`):
+loads `static_last.ckpt`/`dynamic_last.ckpt`, per test view optionally runs
+test-time pose optimization, renders the concatenated static+deformed-dynamic
+set, scores PSNR/SSIM/MS-SSIM/DSSIM/LPIPS, writes per-frame 16-bit PNGs and
+`video.mp4`, and reports train-pose ATE/RPE against GT.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from ..data.readers import GTCameraReader
+from ..models import gaussians as G
+from ..models import motion as M
+from ..render.camera import Camera
+from ..render.rasterize import render
+from ..utils.checkpoint import load_checkpoint
+from ..utils.store import AssetStorer, write_video
+from .metrics import VizScoreEvaluator
+from .pose_metrics import PoseEvaluator
+from .pose_opt import PoseOptimizer
+
+
+class RoDyGSEvaluator:
+    def __init__(self, dirpath, static_datamodule, dynamic_datamodule,
+                 out_path, static_ckpt_path, dynamic_ckpt_path,
+                 camera_lr: float = -1, num_opts: int = -1,
+                 static_model=None, dynamic_model=None,
+                 lpips_weights: str | None = None):
+        self.dirpath = dirpath
+        self.static_datamodule = static_datamodule
+        self.out_path = Path(out_path)
+        self.out_path.mkdir(parents=True, exist_ok=True)
+
+        static_sd, _ = load_checkpoint(static_ckpt_path)
+        self.static_store = G.from_state_dict(static_sd["model"])
+        self.active_sh_degree = int(static_sd["active_sh_degree"])
+        self.static_spatial_lr_scale = float(
+            static_datamodule.get_normalization()["radius"])
+        self.static_sd = static_sd
+
+        self.skip_dynamic = static_datamodule.skip_dynamic
+        if not self.skip_dynamic:
+            dynamic_sd, _ = load_checkpoint(dynamic_ckpt_path)
+            self.dyn_store = G.from_state_dict(dynamic_sd["model"])
+            self.motion_coeff = jnp.asarray(dynamic_sd["model"]["_motion_coeff"])
+            self.net = jax.tree.map(jnp.asarray,
+                                    dynamic_sd["model"]["_deform_network"])
+            # infer net config from weights
+            w0 = np.asarray(self.net["timenet"]["w0"])
+            hd0 = np.asarray(self.net["heads"]["w0"])
+            self.net_cfg = M.MotionNetConfig(
+                netwidth=w0.shape[1],
+                num_basis=hd0.shape[0],
+                t_emb_multires=(w0.shape[0] - 1) // 2,
+            )
+            self.dyn_spatial_lr_scale = float(
+                dynamic_datamodule.get_normalization()["radius"])
+            self.inverse_motion = bool(dynamic_sd.get("inverse_motion", True))
+            self.unique_times = jnp.asarray(
+                G.unique_times(self.dyn_store), jnp.float32)
+
+        self.viz_evaluator = VizScoreEvaluator(lpips_weights)
+        self.pose_evaluator = PoseEvaluator()
+        self.gt_storer = AssetStorer(self.out_path / "gt")
+        self.pred_storer = AssetStorer(self.out_path / "pred")
+
+        self.test_dset = static_datamodule.get_test_dset()
+        self.image_width = self.test_dset.image_width
+        self.image_height = self.test_dset.image_height
+
+        self.is_optimizable_cam = camera_lr != -1
+        if self.is_optimizable_cam:
+            # refined train poses come from the checkpoint's camera section
+            cam = static_sd["camera"]
+            from ..ops.quaternion import quat_to_matrix
+
+            q = np.asarray(cam["q_c2w"])
+            t = np.asarray(cam["t_c2w"])
+            calib = np.tile(np.eye(4, dtype=np.float32), (len(q), 1, 1))
+            calib[:, :3, :3] = np.asarray(quat_to_matrix(jnp.asarray(q)))
+            calib[:, :3, 3] = t
+            self.calibrated_train_poses = calib
+            gt_train = GTCameraReader(dirpath, "train_transforms.json").get_poses()
+            self.pose_optimizer = PoseOptimizer(
+                calib, gt_train, self._render_rgb_for_poseopt,
+                camera_lr, num_opts)
+
+    # --- rendering ---------------------------------------------------------
+
+    def _concat_arrays(self, time):
+        sp = self.static_store.params
+        arrays = [
+            sp.xyz, G.get_features(sp), G.get_opacity(sp),
+            G.get_scaling(sp), G.get_rotation(sp), self.static_store.alive,
+        ]
+        if self.skip_dynamic:
+            return arrays
+        dp = self.dyn_store.params
+        transl, rot_delta = M.gaussian_deformation(
+            self.net, self.net_cfg, self.motion_coeff, time,
+            self.dyn_spatial_lr_scale, inverse_motion=self.inverse_motion,
+            time_ind=self.dyn_store.time_ind, times_table=self.unique_times)
+        return [
+            jnp.concatenate([arrays[0], dp.xyz + transl]),
+            jnp.concatenate([arrays[1], G.get_features(dp)]),
+            jnp.concatenate([arrays[2], G.get_opacity(dp)]),
+            jnp.concatenate([arrays[3], G.get_scaling(dp)]),
+            jnp.concatenate([arrays[4], G.get_rotation(dp) + rot_delta]),
+            jnp.concatenate([arrays[5], self.dyn_store.alive]),
+        ]
+
+    def _render_view_impl(self, camera: Camera):
+        xyz, shs, opacity, scaling, rotation, alive = self._concat_arrays(
+            camera.time)
+        out = render(xyz, shs, opacity, scaling, rotation, camera,
+                     self.active_sh_degree, self.image_width,
+                     self.image_height, alive=alive)
+        return out["rendered_image"]
+
+    @functools.cached_property
+    def _render_view(self):
+        return jax.jit(self._render_view_impl)
+
+    def _render_rgb_for_poseopt(self, camera: Camera):
+        # static-only render, as the reference's PoseOptimizer uses the
+        # static model (`eval.py:414`... it calls self.model.render on the
+        # static model passed in).
+        sp = self.static_store.params
+        out = render(sp.xyz, G.get_features(sp), G.get_opacity(sp),
+                     G.get_scaling(sp), G.get_rotation(sp), camera,
+                     self.active_sh_degree, self.image_width,
+                     self.image_height, alive=self.static_store.alive)
+        return out["rendered_image"]
+
+    # --- main loop ---------------------------------------------------------
+
+    def eval(self) -> dict:
+        from ..render.camera import make_camera
+
+        scores: dict[str, list] = {}
+        for idx in self.static_datamodule.get_test_sampler():
+            frame = self.test_dset[idx]
+            q = self.test_dset.q_c2w[idx]
+            t = self.test_dset.t_c2w[idx]
+            camera = make_camera(q, t, frame["fovx"], frame["fovy"],
+                                 frame["time"])
+            if self.is_optimizable_cam:
+                gt_c2w = np.eye(4, dtype=np.float32)
+                from ..ops.quaternion import quat_to_matrix
+
+                gt_c2w[:3, :3] = np.asarray(quat_to_matrix(jnp.asarray(q)))
+                gt_c2w[:3, 3] = t
+                camera = self.pose_optimizer(camera, gt_c2w, frame["image"])
+
+            pred = np.asarray(self._render_view(camera))
+            gt = frame["image"]
+            score = self.viz_evaluator.get_score(gt, pred)
+            for k, v in score.items():
+                scores.setdefault(k, []).append(v)
+
+            name = f"{str(idx).zfill(5)}_{frame['image_name']}.png"
+            self.gt_storer(name, gt)
+            self.pred_storer(name, pred)
+
+        result = {"viz": {k: float(np.nanmean(v)) for k, v in scores.items()}}
+
+        # train-pose metrics vs GT
+        calibrated = self.static_datamodule.get_train_poses()
+        gt_poses = GTCameraReader(self.dirpath, "train_transforms.json").get_poses()
+        pose_scores = self.pose_evaluator.get_score(gt_poses, calibrated)
+        result["pose"] = {k: float(pose_scores[k])
+                          for k in ("ATE", "RPE_trans", "RPE_rot")}
+
+        with open(self.out_path / "result.yaml", "w") as f:
+            yaml.dump(result, f)
+        write_video(self.out_path / "pred" / "viz",
+                    self.out_path / "video.mp4")
+        return result

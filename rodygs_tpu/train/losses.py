@@ -35,6 +35,13 @@ from ..ops.knn import knn, knn_gather
 from ..ops.quaternion import quat_to_matrix
 
 
+def _safe_norm(x, axis=-1, eps=1e-12):
+    """L2 norm with a NaN-free gradient at x=0 (torch special-cases the
+    zero-vector norm backward; JAX does not — and KNN self-pairs make exact
+    zero difference vectors routine here)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + eps)
+
+
 def _masked_pair(pred, gt, motion_mask, mode):
     """Apply the reference's static/dynamic mask-multiply semantics."""
     if motion_mask is None or mode in (None, "all"):
@@ -145,7 +152,7 @@ def rigidity(ctx, scale: float = 2.0, K: int = 8, sim_metric: str = "l2",
     if "surface" in mode:
         nn_pts = knn_gather(pts, nn_idx)  # [S, K, 3]
         mean_nn = jnp.mean(nn_pts, axis=1)
-        d = jnp.linalg.norm(pts - mean_nn, axis=1)
+        d = _safe_norm(pts - mean_nn, axis=1)
         total = total + jnp.sum(jnp.where(valid, d, 0.0)) / vcount
 
     if "coeff" in mode:
@@ -153,11 +160,11 @@ def rigidity(ctx, scale: float = 2.0, K: int = 8, sim_metric: str = "l2",
         coeff_nn = knn_gather(coeff_s, nn_idx)          # [S, K, B]
         color_s = colors[idx]
         color_nn = knn_gather(color_s, nn_idx)          # [S, K, 3]
-        color_d = jnp.linalg.norm(color_s[:, None] - color_nn, axis=-1)
+        color_d = _safe_norm(color_s[:, None] - color_nn)
         dist_w = jnp.exp(-dist_weight_lambda * dists**2)
         color_w = jnp.exp(-dist_weight_lambda * color_d**2)
         if sim_metric == "l2":
-            sim = jnp.linalg.norm(coeff_s[:, None] - coeff_nn, axis=-1)
+            sim = _safe_norm(coeff_s[:, None] - coeff_nn)
         elif sim_metric == "l1":
             sim = jnp.sum(jnp.abs(coeff_s[:, None] - coeff_nn), axis=-1)
         else:  # cosine
@@ -183,7 +190,7 @@ def rigidity(ctx, scale: float = 2.0, K: int = 8, sim_metric: str = "l2",
         loc_nn = nn_transl + nn_canon[:, :, None, :]        # [S, K, Ts, 3]
         loc_s = transl_t + canon_s[:, None, :]              # [S, Ts, 3]
         diff = loc_nn - loc_s[:, None, :, :]
-        d_t = jnp.linalg.norm(diff, axis=-1)                # [S, K, Ts]
+        d_t = _safe_norm(diff)                              # [S, K, Ts]
         valid_w = (valid[:, None, None]).astype(jnp.float32)
         # Charbonnier between time-varying and canonical KNN distances,
         # out_norm="bc" over a [S*K, Ts, 1]-shaped comparison.
@@ -232,6 +239,10 @@ def motion_basis_reg(ctx, transl_degree: int = 0, rot_degree: int = 0,
     motion table, frequency-weighted per basis
     (`MotionBasisRegularizaiton.forward`, `losses.py:488-525`)."""
     table = ctx["motion_table"]  # [T, B, 7]
+    # Degree-d derivatives need at least d+2 timesteps; with fewer the
+    # difference arrays are empty and their mean is NaN.
+    if table.shape[0] < max(transl_degree, rot_degree) + 2:
+        return jnp.zeros(())
     bank = np.asarray(_COEFF_BANK[freq_div_mode], np.float32)
     if freq_div_mode != "vanilla":
         bank = bank / bank.max() * 1.3

@@ -1,0 +1,238 @@
+"""Full-pipeline integration: synthetic scene written in the reference's
+on-disk dataset layout -> train CLI -> eval CLI -> result.yaml.
+
+This exercises the same surface as the reference's
+`python -m src.pipelines.train` / `eval` (SURVEY.md §3.1/§3.3), including the
+reference YAML config format (through the target-alias remapping)."""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+from rodygs_tpu.utils.ply import write_ply
+
+from test_dynamic import make_dynamic_scene, W, H
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    """Write a tiny dynamic scene in the RoDyGS dataset layout."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("scene")
+    (sm, sc), (dm0, dc, vel), views = make_dynamic_scene(
+        n_static=60, n_dyn=15, n_frames=5)
+
+    (root / "train").mkdir()
+    (root / "test").mkdir()
+    (root / "depth_anything").mkdir()
+    (root / "tam_mask").mkdir()
+    exp = root / "mast3r_opt" / "exp0"
+    (exp / "static").mkdir(parents=True)
+    (exp / "dynamic").mkdir()
+
+    from rodygs_tpu.ops.quaternion import quat_to_matrix
+    import jax.numpy as jnp
+
+    def c2w_of(cam):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = np.asarray(quat_to_matrix(cam.q_c2w))
+        m[:3, 3] = np.asarray(cam.t_c2w)
+        return m
+
+    frames_train, frames_test = [], []
+    for i, (cam, img) in enumerate(views):
+        name = f"rgb_{i:05d}.png"
+        arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / "train" / name)
+        # test split reuses the same views (tiny fixture)
+        Image.fromarray(arr).save(root / "test" / name)
+        t = float(cam.time)
+        frames_train.append({"file_path": f"train/{name}",
+                             "transform_matrix": c2w_of(cam).tolist(),
+                             "time": t})
+        frames_test.append({"file_path": f"test/{name}",
+                            "transform_matrix": c2w_of(cam).tolist(),
+                            "time": t})
+        # fake depth prior: plane-ish depth; reader negates+normalizes
+        np.save(root / "depth_anything" / f"rgb_{i:05d}.npy",
+                np.linspace(1, 2, H)[:, None].repeat(W, 1).astype(np.float32))
+        # motion mask: right half dynamic
+        mask = np.zeros((H, W), np.uint8)
+        mask[:, W // 2:] = 255
+        Image.fromarray(mask).save(root / "tam_mask" / f"{i:06d}.png")
+        # per-frame static/dynamic point clouds
+        write_ply(exp / "static" / f"{i:05d}.ply", sm, colors=sc)
+        dyn_pts = dm0 + vel * t
+        write_ply(exp / "dynamic" / f"{i:05d}.ply", dyn_pts, colors=dc)
+
+    fovx_deg = float(np.rad2deg(0.9))
+    for fname, frames in [("train_transforms.json", frames_train),
+                          ("test_transforms.json", frames_test)]:
+        with open(root / fname, "w") as f:
+            json.dump({"camera_angle_x": fovx_deg, "frames": frames}, f)
+
+    # mast3r global params: focal consistent with fovx at res 512
+    from rodygs_tpu.ops.transforms import fov2focal
+
+    focal = float(fov2focal(0.9, 512))
+    c2ws = np.stack([c2w_of(cam) for cam, _ in views])
+    with open(exp / "global_params.pkl", "wb") as f:
+        pickle.dump({"focals": [focal], "cam2worlds": c2ws,
+                     "depths": None, "max_depths": None, "masks": None}, f)
+    return root
+
+
+@pytest.fixture(scope="module")
+def train_config(scene_dir):
+    """A reference-style YAML config (same target paths as the reference's
+    kubric_mrig config, shrunk for CPU)."""
+    def datablock(mode):
+        return {
+            "target": "src.data.datamodule.GSDataModule",
+            "params": {
+                "dirpath": str(scene_dir),
+                "train_dset_config": {
+                    "target": "src.data.datamodule.LazyDataReader",
+                    "params": {
+                        "camera_config": {"target": "src.data.utils.FixedCamera"},
+                        "pose_reader": {
+                            "target": "src.data.asset_readers.MASt3RCameraReader",
+                            "params": {"mast3r_expname": "exp0",
+                                       "mast3r_img_res": 512}},
+                        "depth_reader": {
+                            "target": "src.data.asset_readers.DepthAnythingReader",
+                            "params": {"split": "train"}},
+                        "motion_mask_reader": {
+                            "target": "src.data.asset_readers.TAMMaskReader",
+                            "params": {"split": "train"}},
+                    }},
+                "train_dloader_config": {
+                    "target": "src.data.dataloader.PermutationSingleDataLoader",
+                    "params": {"num_iterations": None}},
+                "test_dset_config": {
+                    "target": "src.data.datamodule.DataReader",
+                    "params": {
+                        "camera_config": {"target": "src.data.utils.FixedCamera"},
+                        "pose_reader": {
+                            "target": "src.data.asset_readers.GTCameraReader"}}},
+                "test_dloader_config": {
+                    "target": "src.data.dataloader.SequentialSingleDataLoader",
+                    "params": {}},
+                "train_pcd_reader_config": {
+                    "target": "src.data.asset_readers.MASt3RPCDReader",
+                    "params": {"mast3r_expname": "exp0", "mode": mode,
+                               "num_limit_points": 500}},
+                "normalize_cams": False,
+            }}
+
+    def trainer_block(extra_losses, extra_params):
+        return {
+            "params": {
+                "loss_config": {
+                    "target": "src.trainer.losses.MultiLoss",
+                    "params": {"loss_configs": [
+                        {"name": "d_ssim", "weight": 0.2,
+                         "target": "src.trainer.losses.SSIMLoss",
+                         "params": {"mode": "all"}},
+                        {"name": "l1", "weight": 0.8,
+                         "target": "src.trainer.losses.L1Loss",
+                         "params": {"mode": "all"}},
+                        {"name": "global_pearson_depth", "weight": 0.05,
+                         "target": "src.trainer.losses.GlobalPearsonDepthLoss",
+                         "start": 0, "params": {"mode": "all"}},
+                    ] + extra_losses}},
+                "num_iterations": 30,
+                "position_lr_init": 0.00016, "position_lr_final": 1.6e-06,
+                "position_lr_delay_mult": 0.01, "position_lr_max_steps": 30,
+                "feature_lr": 0.0025, "opacity_lr": 0.05,
+                "scaling_lr": 0.005, "rotation_lr": 0.001,
+                "percent_dense": 0.01, "densification_interval": 20,
+                "opacity_reset_interval": 5000000, "densify_from_iter": 10,
+                "densify_until_iter": 30, "densify_grad_threshold": 0.001,
+                "camera_opt_config": {
+                    "target": "src.trainer.optim.CameraQuatOptimizer",
+                    "params": {"camera_rotation_lr": 1.0e-05,
+                               "camera_translation_lr": 1.0e-06,
+                               "camera_lr_warmup": 0, "total_steps": 30}},
+                **extra_params,
+            }}
+
+    static_tr = trainer_block([], {})
+    static_tr["target"] = "src.trainer.rodygs_static.ThreeDGSTrainer"
+    dynamic_tr = trainer_block(
+        [{"name": "motion_l1_reg", "weight": 0.01, "start": 0,
+          "target": "src.trainer.losses.MotionL1Loss"},
+         {"name": "rigidity", "weight": 0.5, "freq": 5, "start": 0,
+          "target": "src.trainer.losses.RigidityLoss",
+          "params": {"mode": ["distance_preserving", "surface"], "K": 4}}],
+        {"deform_lr_init": 0.0016, "deform_lr_final": 0.00016,
+         "deform_lr_delay_mult": 0.01, "deform_lr_max_steps": 30,
+         "motion_coeff_lr": 0.00016, "deform_warmup_steps": 0})
+    dynamic_tr["target"] = "src.trainer.rodygs_dynamic.DynTrainer"
+
+    return {
+        "static_data": datablock("static"),
+        "dynamic_data": datablock("dynamic"),
+        "static_model": {
+            "target": "src.model.rodygs_static.StaticRoDyGS",
+            "params": {"sh_degree": 1, "isotropic": False}},
+        "dynamic_model": {
+            "target": "src.model.rodygs_dynamic.DynRoDyGS",
+            "params": {"sh_degree": 1, "deform_netwidth": 32,
+                       "deform_t_emb_multires": 6,
+                       "deform_t_log_sampling": False, "num_basis": 4,
+                       "isotropic": False, "inverse_motion": True}},
+        "trainer": {
+            "target": "src.trainer.rodygs.RoDyGSTrainer",
+            "params": {"log_freq": 10, "sh_up_start_iteration": 1000,
+                       "sh_up_period": 1000,
+                       "static": static_tr, "dynamic": dynamic_tr}},
+    }
+
+
+class TestFullPipeline:
+    def test_train_and_eval_cli(self, scene_dir, train_config, tmp_path):
+        cfg_path = tmp_path / "cfg.yaml"
+        with open(cfg_path, "w") as f:
+            yaml.dump(train_config, f)
+
+        from rodygs_tpu.pipelines import train as train_cli
+
+        train_cli.main([
+            "-d", str(scene_dir), "-b", str(cfg_path),
+            "-g", "testgroup", "-n", "run", "-l", str(tmp_path / "logs"),
+            "-s", "1", "--capacity_factor", "2.0",
+        ])
+        logdir = tmp_path / "logs" / "testgroup" / "run_1"
+        assert (logdir / "train" / "static_last.ckpt").exists()
+        assert (logdir / "train" / "dynamic_last.ckpt").exists()
+        assert (logdir / "train" / "config.yaml").exists()
+        assert (logdir / "train" / "code" / "rodygs_tpu").exists()
+
+        # eval CLI (wo_align: no test-time pose opt)
+        eval_cfg = tmp_path / "eval.yaml"
+        with open(eval_cfg, "w") as f:
+            yaml.dump({"eval": {"params": {"camera_lr": -1, "num_opts": -1}}}, f)
+
+        from rodygs_tpu.pipelines import eval as eval_cli
+
+        eval_cli.main([
+            "-c", str(eval_cfg), "-t", "eval", "-d", str(scene_dir),
+            "-m", str(logdir),
+        ])
+        result_path = logdir / "eval" / "result.yaml"
+        assert result_path.exists()
+        with open(result_path) as f:
+            result = yaml.safe_load(f)
+        assert "psnr" in result["viz"]
+        assert result["viz"]["psnr"] > 10.0
+        assert "ATE" in result["pose"]
+        assert np.isfinite(result["pose"]["ATE"])
+        # per-frame PNGs + video
+        pred_pngs = list((logdir / "eval" / "pred" / "viz").glob("*.png"))
+        assert len(pred_pngs) == 5
+        assert (logdir / "eval" / "video.mp4").exists()
