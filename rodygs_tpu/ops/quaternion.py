@@ -19,16 +19,21 @@ def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + eps * eps)
 
 
-def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+def quat_to_matrix(q: jnp.ndarray, eps: float = 1e-24) -> jnp.ndarray:
     """Quaternion(s) [..., 4] (w,x,y,z, not necessarily unit) -> rotation
     matrices [..., 3, 3].
 
     Uses the 2/|q|^2 normalization so gradients flow through the norm
     (matches the reference's differentiable `quaternion_to_matrix`).
+
+    `eps` guards q=0 (dead capacity slots) against inf/NaN. Callers feeding
+    near-zero quaternions whose GRADIENTS matter (the motion-basis
+    regularizer's raw deltas) must pass a larger eps: on TPU |q|^4 underflows
+    to zero (subnormal flush) long before |q|^2 does, turning the 2/|q|^2
+    backward into inf.
     """
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    # eps guards the q=0 case (dead capacity slots) against inf/NaN leakage.
-    two_s = 2.0 / (jnp.sum(q * q, axis=-1) + 1e-24)
+    two_s = 2.0 / (jnp.sum(q * q, axis=-1) + eps)
     o = jnp.stack(
         [
             1 - two_s * (y * y + z * z),

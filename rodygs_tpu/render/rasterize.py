@@ -63,7 +63,8 @@ def _pack_records(splats: Splats2D) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sh_degree", "image_width", "image_height", "max_fragments"),
+    static_argnames=("sh_degree", "image_width", "image_height",
+                     "max_fragments", "tile_axis"),
 )
 def render(
     means3d: jnp.ndarray,
@@ -81,6 +82,7 @@ def render(
     means2d_offset: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
     max_fragments: int | None = None,
+    tile_axis: str | None = None,
 ):
     """Differentiable tile rasterization of N Gaussians.
 
@@ -113,8 +115,42 @@ def render(
 
     records = _pack_records(splats)  # [16, N+1]
     padded = jnp.take(records, binning.padded_gid, axis=1)  # differentiable
-    tile_out = rasterize_tiles(
-        padded, binning.tile_starts, binning.tile_nchunks, tiles_x)
+
+    if tile_axis is None:
+        tile_out = rasterize_tiles(
+            padded, binning.tile_starts, binning.tile_nchunks, tiles_x)
+    else:
+        # Tile-space sharding (see parallel/): this device composites a
+        # contiguous slice of the tile grid; outputs reassemble with a tiled
+        # all_gather whose VJP routes each device exactly its own tiles'
+        # cotangents. Gradients for fragment rows outside the local range are
+        # masked (rasterize_tiles_ranged) so the per-device scatter-add only
+        # carries local contributions — the caller psums over the axis.
+        from .tile_kernel import rasterize_tiles_ranged
+
+        n_shards = jax.lax.axis_size(tile_axis)
+        num_tiles = tiles_x * tiles_y
+        t_local = -(-num_tiles // n_shards)
+        shard = jax.lax.axis_index(tile_axis)
+        t0 = shard * t_local
+        # Last shard may extend past num_tiles: pad with zero-chunk tiles
+        # whose start is the array end (never DMA'd; keeps `hi` correct).
+        pad = n_shards * t_local - num_tiles
+        p_pad = padded.shape[1]
+        starts_ext = jnp.pad(binning.tile_starts, (0, pad),
+                             constant_values=p_pad)
+        nchunks_ext = jnp.pad(binning.tile_nchunks, (0, pad))
+        local_starts = jax.lax.dynamic_slice(starts_ext, (t0,), (t_local,))
+        local_nchunks = jax.lax.dynamic_slice(nchunks_ext, (t0,), (t_local,))
+        lo = local_starts[0]
+        hi = local_starts[-1] + local_nchunks[-1] * CHUNK
+        local_out = rasterize_tiles_ranged(
+            padded, local_starts, local_nchunks,
+            jnp.stack([lo, hi]).astype(jnp.int32),
+            jnp.reshape(t0, (1,)).astype(jnp.int32), tiles_x)
+        gathered = jax.lax.all_gather(
+            local_out, tile_axis, axis=0, tiled=True)  # [n*t_local, 8, 256]
+        tile_out = gathered[:num_tiles]
     img = tiles_to_image(tile_out, tiles_x, tiles_y, image_width, image_height)
 
     rgb = img[:, :, 0:3]

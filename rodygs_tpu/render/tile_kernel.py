@@ -113,12 +113,14 @@ def _chunk_blend(rec, px, py, log_t):
     return dx, dy, sigma, g, unclamped, alpha, lg, log_t_incl, contrib, w
 
 
-def _fwd_kernel(starts_ref, nchunks_ref, records_ref, out_ref, buf, sems,
-                *, tiles_x: int):
+def _fwd_kernel(starts_ref, nchunks_ref, offset_ref, records_ref, out_ref,
+                buf, sems, *, tiles_x: int):
     t = pl.program_id(0)
     start = starts_ref[t]
     nchunks = nchunks_ref[t]
-    px, py = _pixel_coords(t, tiles_x)
+    # offset maps the local grid index to the global tile id (tile-sharded
+    # rendering passes a slice of the tile range arrays).
+    px, py = _pixel_coords(offset_ref[0] + t, tiles_x)
 
     def dma(slot, c):
         return pltpu.make_async_copy(
@@ -167,12 +169,13 @@ def _fwd_kernel(starts_ref, nchunks_ref, records_ref, out_ref, buf, sems,
     out_ref[0] = acc
 
 
-def _bwd_kernel(starts_ref, nchunks_ref, records_ref, out_in_ref, gout_ref,
-                d_records_ref, buf, dbuf, sems, store_sem, *, tiles_x: int):
+def _bwd_kernel(starts_ref, nchunks_ref, offset_ref, records_ref, out_in_ref,
+                gout_ref, d_records_ref, buf, dbuf, sems, store_sem,
+                *, tiles_x: int):
     t = pl.program_id(0)
     start = starts_ref[t]
     nchunks = nchunks_ref[t]
-    px, py = _pixel_coords(t, tiles_x)
+    px, py = _pixel_coords(offset_ref[0] + t, tiles_x)
     gtile = gout_ref[0]  # [8, PIX]
     # g_o[p] = sum_c g_cp * O_cp, as a [PIX, 1] column (via MXU, no transpose).
     g_o = _mm(gtile * out_in_ref[0], jnp.ones((NUM_CHANNELS, 1), jnp.float32),
@@ -265,7 +268,20 @@ def _bwd_kernel(starts_ref, nchunks_ref, records_ref, out_in_ref, gout_ref,
         dma(c_final % 2, c_final).wait()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def rasterize_tiles_ranged(padded_records, tile_starts, tile_nchunks,
+                           grad_row_range, tile_id_offset, tiles_x: int):
+    """`rasterize_tiles` with an explicit [2] (lo, hi) gradient row range:
+    the backward pass zeroes d_records rows outside [lo, hi). Required when
+    the tile grid is sharded across devices — each device only composites
+    (and therefore only writes gradient rows for) its own slice of the
+    chunk-aligned fragment layout; rows of other devices' ranges are
+    uninitialized and must not leak into the scatter-add. `tile_id_offset`
+    ([1] int32) maps local grid index 0 to its global tile id."""
+    return _rasterize_fwd_impl(padded_records, tile_starts, tile_nchunks,
+                               tile_id_offset, tiles_x)
+
+
 def rasterize_tiles(padded_records, tile_starts, tile_nchunks, tiles_x: int):
     """Composite padded fragment records into per-tile channel planes.
 
@@ -275,13 +291,17 @@ def rasterize_tiles(padded_records, tile_starts, tile_nchunks, tiles_x: int):
       tiles_x: static tile-grid width.
     Returns: [T, 8, 256] f32 per-tile channel planes.
     """
-    return _rasterize_fwd_impl(padded_records, tile_starts, tile_nchunks, tiles_x)
+    full = jnp.array([0, padded_records.shape[1]], jnp.int32)
+    return rasterize_tiles_ranged(
+        padded_records, tile_starts, tile_nchunks, full,
+        jnp.zeros((1,), jnp.int32), tiles_x)
 
 
-def _rasterize_fwd_impl(padded_records, tile_starts, tile_nchunks, tiles_x):
+def _rasterize_fwd_impl(padded_records, tile_starts, tile_nchunks,
+                        tile_id_offset, tiles_x):
     num_tiles = tile_starts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
@@ -298,19 +318,23 @@ def _rasterize_fwd_impl(padded_records, tile_starts, tile_nchunks, tiles_x):
         out_shape=jax.ShapeDtypeStruct((num_tiles, NUM_CHANNELS, PIX), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(tile_starts, tile_nchunks, padded_records)
+    )(tile_starts, tile_nchunks, tile_id_offset, padded_records)
 
 
-def _rasterize_fwd(padded_records, tile_starts, tile_nchunks, tiles_x):
-    out = _rasterize_fwd_impl(padded_records, tile_starts, tile_nchunks, tiles_x)
-    return out, (padded_records, tile_starts, tile_nchunks, out)
+def _rasterize_fwd(padded_records, tile_starts, tile_nchunks,
+                   grad_row_range, tile_id_offset, tiles_x):
+    out = _rasterize_fwd_impl(padded_records, tile_starts, tile_nchunks,
+                              tile_id_offset, tiles_x)
+    return out, (padded_records, tile_starts, tile_nchunks, grad_row_range,
+                 tile_id_offset, out)
 
 
 def _rasterize_bwd(tiles_x, residuals, gout):
-    padded_records, tile_starts, tile_nchunks, out = residuals
+    (padded_records, tile_starts, tile_nchunks, grad_row_range,
+     tile_id_offset, out) = residuals
     num_tiles = tile_starts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -333,15 +357,20 @@ def _rasterize_bwd(tiles_x, residuals, gout):
         grid_spec=grid_spec,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_starts, tile_nchunks, padded_records, out, gout)
+    )(tile_starts, tile_nchunks, tile_id_offset, padded_records, out, gout)
+    col = jax.lax.broadcasted_iota(jnp.int32, d_records.shape, 1)
+    keep = (col >= grad_row_range[0]) & (col < grad_row_range[1])
+    d_records = jnp.where(keep, d_records, 0.0)
     return (
         d_records,
         np.zeros(tile_starts.shape, dtype=jax.dtypes.float0),
         np.zeros(tile_nchunks.shape, dtype=jax.dtypes.float0),
+        np.zeros(grad_row_range.shape, dtype=jax.dtypes.float0),
+        np.zeros(tile_id_offset.shape, dtype=jax.dtypes.float0),
     )
 
 
-rasterize_tiles.defvjp(_rasterize_fwd, _rasterize_bwd)
+rasterize_tiles_ranged.defvjp(_rasterize_fwd, _rasterize_bwd)
 
 
 def tiles_to_image(tile_out: jnp.ndarray, tiles_x: int, tiles_y: int,

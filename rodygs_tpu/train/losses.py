@@ -251,7 +251,9 @@ def motion_basis_reg(ctx, transl_degree: int = 0, rot_degree: int = 0,
     transl = table[..., :3]  # [T, B, 3]
     rotq = table[..., 3:]
     t, b = rotq.shape[:2]
-    rotm = quat_to_matrix(rotq.reshape(-1, 4)).reshape(t, b, 3, 3)
+    # The basis rot outputs are tiny deltas around zero; eps=1e-8 keeps the
+    # 2/|q|^2 backward finite on TPU (see quat_to_matrix docstring).
+    rotm = quat_to_matrix(rotq.reshape(-1, 4), eps=1e-8).reshape(t, b, 3, 3)
 
     def deriv(x, degree):
         for _ in range(degree + 1):
@@ -266,11 +268,11 @@ def motion_basis_reg(ctx, transl_degree: int = 0, rot_degree: int = 0,
     for _ in range(rot_degree + 1):
         rot_d = rot_deriv_once(rot_d)
 
-    transl_norm = jnp.linalg.norm(transl_d, axis=-1) * reg_coeff[None]
+    transl_norm = _safe_norm(transl_d) * reg_coeff[None]
     out = jnp.mean(transl_norm) if transl_degree >= 0 else 0.0
     eye = jnp.eye(3)
-    rot_norm = jnp.linalg.norm(
-        (eye[None, None] - rot_d).reshape(*rot_d.shape[:2], 9), axis=-1
+    rot_norm = _safe_norm(
+        (eye[None, None] - rot_d).reshape(*rot_d.shape[:2], 9)
     ) * reg_coeff[None]
     out = out + (jnp.mean(rot_norm) if rot_degree >= 0 else 0.0)
     return out

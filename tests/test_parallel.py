@@ -1,0 +1,151 @@
+"""Multi-device tests on the virtual 8-CPU-device mesh (SURVEY.md §4(d)):
+tile-sharded rendering matches single-device bit-for-bit-ish, and the
+data-parallel train step matches the average of single-device gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from rodygs_tpu.models import gaussians as G
+from rodygs_tpu.parallel.mesh import make_mesh
+from rodygs_tpu.parallel.sharded import make_sharded_static_step, stack_batches
+from rodygs_tpu.render.rasterize import render
+from rodygs_tpu.train.losses import LossTerm, MultiLoss
+from rodygs_tpu.train.optim import CameraPoses
+from rodygs_tpu.train.trainer_static import (
+    FrameBatch, StaticTrainerConfig, ThreeDGSTrainer, init_static_state)
+
+from test_train import make_gt_scene, W, H
+
+
+@pytest.fixture(scope="module")
+def scene():
+    (means, scales, quats, opac, cols), views = make_gt_scene(
+        n=40, return_full=True)
+    store = G.from_point_cloud(means, cols, sh_degree=1, capacity=128)
+    poses = CameraPoses(q_c2w=jnp.stack([v[0].q_c2w for v in views]),
+                        t_c2w=jnp.stack([v[0].t_c2w for v in views]))
+    return store, poses, views
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+class TestTileSharding:
+    def test_sharded_render_matches_single(self, scene):
+        store, poses, views = scene
+        cam = views[0][0]
+        p = store.params
+        args = (p.xyz, G.get_features(p), G.get_opacity(p),
+                G.get_scaling(p), p.rotation)
+
+        ref = render(*args, cam, 1, W, H, alive=store.alive)
+
+        mesh = make_mesh(n_data=2, n_tile=4)
+
+        def shard_fn():
+            out = render(*args, cam, 1, W, H, alive=store.alive,
+                         tile_axis="tile")
+            return out["rendered_image"], out["rendered_depth"]
+
+        img, depth = jax.jit(shard_map(
+            shard_fn, mesh=mesh, in_specs=(), out_specs=(P(), P()),
+            check_vma=False))()
+        np.testing.assert_allclose(np.asarray(img),
+                                   np.asarray(ref["rendered_image"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(depth),
+                                   np.asarray(ref["rendered_depth"]), atol=1e-4)
+
+    def test_sharded_render_grads_match(self, scene):
+        store, poses, views = scene
+        cam, gt_img, _ = views[0]
+        p = store.params
+        mesh = make_mesh(n_data=1, n_tile=8)
+        gt = jnp.asarray(gt_img)
+
+        def loss_single(xyz, opac_raw):
+            out = render(xyz, G.get_features(p), jax.nn.sigmoid(opac_raw[:, 0]),
+                         G.get_scaling(p), p.rotation, cam, 1, W, H,
+                         alive=store.alive)
+            return jnp.mean((out["rendered_image"] - gt) ** 2)
+
+        g_ref = jax.grad(loss_single, argnums=(0, 1))(p.xyz, p.opacity)
+
+        def loss_sharded(xyz, opac_raw):
+            def inner(xyz, opac_raw):
+                out = render(xyz, G.get_features(p),
+                             jax.nn.sigmoid(opac_raw[:, 0]),
+                             G.get_scaling(p), p.rotation, cam, 1, W, H,
+                             alive=store.alive, tile_axis="tile")
+                loss = jnp.mean((out["rendered_image"] - gt) ** 2)
+                return loss
+
+            return shard_map(inner, mesh=mesh, in_specs=(P(), P()),
+                             out_specs=P(), check_vma=False)(xyz, opac_raw)
+
+        g_shard = jax.jit(jax.grad(loss_sharded, argnums=(0, 1)))(
+            p.xyz, p.opacity)
+        for a, b in zip(g_shard, g_ref):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(b).max() + 1e-10
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-4)
+
+
+class TestDataParallelStep:
+    def test_dp_step_matches_mean_gradient(self, scene):
+        store, poses, views = scene
+        loss = MultiLoss([LossTerm("l1", 0.8, "L1Loss"),
+                          LossTerm("d_ssim", 0.2, "SSIMLoss")])
+        cfg = StaticTrainerConfig(
+            image_width=W, image_height=H, sh_degree=1,
+            camera_rotation_lr=1e-4, camera_translation_lr=1e-4)
+        mesh = make_mesh(n_data=4, n_tile=2)
+        step = make_sharded_static_step(cfg, loss, mesh, spatial_lr_scale=3.0)
+
+        batches = []
+        for i in range(4):
+            cam, gt_img, _ = views[i % len(views)]
+            batches.append(FrameBatch(
+                gt_image=jnp.asarray(gt_img), gt_depth=None, motion_mask=None,
+                frame_idx=jnp.asarray(i % len(views), jnp.int32),
+                time=cam.time, fovx=cam.fovx, fovy=cam.fovy))
+        batch = stack_batches(batches)
+
+        state = init_static_state(store, poses)
+        rng = jax.random.key(0)
+        active = loss.active_set(1)
+        new_state, metrics = step(state, batch, rng,
+                                  jnp.asarray(1.0), active=active, sh_degree=1)
+        assert np.isfinite(float(metrics["loss"]))
+
+        # reference: average of per-frame param grads -> same Adam update
+        from rodygs_tpu.train.trainer_static import make_camera_from_poses
+        from rodygs_tpu.train.optim import adam_update, adam_init
+        from rodygs_tpu.train.trainer_static import _param_lr_tree
+
+        def frame_loss(params, poses_, b):
+            camera = make_camera_from_poses(poses_, b)
+            out = render(params.xyz, G.get_features(params),
+                         G.get_opacity(params),
+                         G.get_scaling(params), params.rotation, camera, 1,
+                         W, H, alive=store.alive)
+            ctx = {"pred_img": out["rendered_image"], "gt_img": b.gt_image,
+                   "alive": store.alive, "rng": rng}
+            return loss(ctx, active)[0]
+
+        grads = [jax.grad(frame_loss)(store.params, poses, b) for b in batches]
+        g_mean = jax.tree.map(lambda *xs: sum(xs) / len(xs), *grads)
+        lr_tree = _param_lr_tree(cfg, jnp.asarray(1.0), 3.0)
+        expect_params, _ = adam_update(g_mean, adam_init(store.params),
+                                       store.params, lr_tree)
+        for leaf_a, leaf_b in zip(jax.tree.leaves(new_state.store.params),
+                                  jax.tree.leaves(expect_params)):
+            a, b = np.asarray(leaf_a), np.asarray(leaf_b)
+            np.testing.assert_allclose(a, b, atol=5e-5)
+
+        # stats accumulated over all 4 frames (denom counts visibility)
+        assert float(jnp.max(new_state.stats.denom)) >= 1.0
