@@ -80,7 +80,7 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
                 total, _ = loss(ctx, active)
                 return total, (out["radii"], out["visibility_filter"])
 
-            offset0 = jnp.zeros((params.xyz.shape[0], 2), jnp.float32)
+            offset0 = jnp.zeros((2, params.xyz.shape[0]), jnp.float32)
             (total, (radii, visible)), grads = jax.value_and_grad(
                 local_loss, argnums=(0, 1, 2), has_aux=True)(
                     params, poses, offset0)

@@ -32,12 +32,12 @@ def composite_reference(
     """Composite all splats at every pixel. Returns a dict with channels-last
     image [H,W,3], depth [H,W], normal [H,W,3], alpha [H,W]."""
     order = jnp.argsort(jnp.where(splats.visible, splats.depth, jnp.inf))
-    mean2d = splats.mean2d[order]
-    conic = splats.conic[order]
-    rgb = splats.rgb[order]
+    mean2d = splats.mean2d[:, order]     # [2, N]
+    conic = splats.conic[:, order]       # [3, N]
+    rgb = splats.rgb[:, order].T         # [N, 3]
     opac = splats.opacity[order]
     depth = splats.depth[order]
-    normal = splats.normal[order]
+    normal = splats.normal[:, order].T   # [N, 3]
     visible = splats.visible[order]
     radius = splats.radius[order]
 
@@ -45,11 +45,11 @@ def composite_reference(
     xs = jnp.arange(image_width, dtype=jnp.float32)
     pxx, pyy = jnp.meshgrid(xs, ys)  # [H,W]
 
-    dx = pxx[:, :, None] - mean2d[None, None, :, 0]  # [H,W,N]
-    dy = pyy[:, :, None] - mean2d[None, None, :, 1]
+    dx = pxx[:, :, None] - mean2d[0][None, None, :]  # [H,W,N]
+    dy = pyy[:, :, None] - mean2d[1][None, None, :]
     sigma = (
-        0.5 * (conic[None, None, :, 0] * dx * dx + conic[None, None, :, 2] * dy * dy)
-        + conic[None, None, :, 1] * dx * dy
+        0.5 * (conic[0][None, None, :] * dx * dx + conic[2][None, None, :] * dy * dy)
+        + conic[1][None, None, :] * dx * dy
     )
     g = jnp.exp(-sigma)
     alpha = jnp.minimum(ALPHA_MAX, opac[None, None, :] * g)

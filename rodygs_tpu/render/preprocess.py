@@ -10,8 +10,13 @@ backward paths the reference hand-codes in CUDA — including the camera-pose
 gradients of the `pose` fork (viewmatrix enters here) and the screen-space
 mean gradients harvested for densification.
 
-All ops vectorize over the N-Gaussian leading dimension (VPU-friendly); the
-only matmul-shaped op is the [N,3]x[3,3] view transform.
+TPU-critical layout note: arrays shaped [N, 3] / [N, 4] / [N, K, 3] pad
+their minor dims to the 128-lane width — a 32-42x memory/compute bloat that
+made a naive implementation ~30 ms at N=131k. Everything here therefore runs
+COMPONENT-WISE on [N] vectors (struct-of-arrays, N in lanes): inputs are
+transposed once on entry, every matrix product is written out as scalar
+formulas over [N] arrays, and outputs are row-major [D, N] — which is also
+exactly the field-major record layout the Pallas kernel consumes.
 """
 
 from __future__ import annotations
@@ -20,8 +25,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..ops.covariance import build_covariance
-from ..ops.sh import sh_to_rgb_clamped
+from ..ops.sh import C0, C1, C2, C3
 from .camera import Camera, camera_center, proj_matrix, world_view_transform
 
 # Near-plane cull threshold used by the reference CUDA kernel.
@@ -31,16 +35,51 @@ COV2D_DILATION = 0.3
 
 
 class Splats2D(NamedTuple):
-    """Per-Gaussian screen-space quantities (all [N, ...])."""
+    """Per-Gaussian screen-space quantities (transposed: trailing dim N)."""
 
-    mean2d: jnp.ndarray     # [N, 2] pixel coords
-    conic: jnp.ndarray      # [N, 3] inverse 2D covariance (a, b, c)
+    mean2d: jnp.ndarray     # [2, N] pixel coords
+    conic: jnp.ndarray      # [3, N] inverse 2D covariance (a, b, c)
     depth: jnp.ndarray      # [N] view-space z
-    rgb: jnp.ndarray        # [N, 3] SH-evaluated color
+    rgb: jnp.ndarray        # [3, N] SH-evaluated color
     opacity: jnp.ndarray    # [N] activated opacity
-    normal: jnp.ndarray     # [N, 3] view-space normal (shortest-axis)
+    normal: jnp.ndarray     # [3, N] view-space normal (shortest-axis)
     radius: jnp.ndarray     # [N] int32 pixel radius (0 => culled)
     visible: jnp.ndarray    # [N] bool
+
+
+def _sh_eval_components(deg: int, sh_t: jnp.ndarray, dx, dy, dz):
+    """SH -> color, component math on [N] vectors.
+
+    sh_t: [K, 3, N] transposed coefficients; (dx, dy, dz): unit view dirs.
+    Returns (r, g, b) each [N]. Mirrors ops/sh.py eval_sh degrees 0..3 (the
+    CUDA kernel supports <= 3; degree 4 only exists in the reference's unused
+    Python `eval_sh`)."""
+    out = [C0 * sh_t[0, c] for c in range(3)]
+    if deg > 0:
+        for c in range(3):
+            out[c] = (out[c] - C1 * dy * sh_t[1, c] + C1 * dz * sh_t[2, c]
+                      - C1 * dx * sh_t[3, c])
+        if deg > 1:
+            xx, yy, zz = dx * dx, dy * dy, dz * dz
+            xy, yz, xz = dx * dy, dy * dz, dx * dz
+            for c in range(3):
+                out[c] = (out[c]
+                          + C2[0] * xy * sh_t[4, c]
+                          + C2[1] * yz * sh_t[5, c]
+                          + C2[2] * (2.0 * zz - xx - yy) * sh_t[6, c]
+                          + C2[3] * xz * sh_t[7, c]
+                          + C2[4] * (xx - yy) * sh_t[8, c])
+            if deg > 2:
+                for c in range(3):
+                    out[c] = (out[c]
+                              + C3[0] * dy * (3 * xx - yy) * sh_t[9, c]
+                              + C3[1] * xy * dz * sh_t[10, c]
+                              + C3[2] * dy * (4 * zz - xx - yy) * sh_t[11, c]
+                              + C3[3] * dz * (2 * zz - 3 * xx - 3 * yy) * sh_t[12, c]
+                              + C3[4] * dx * (4 * zz - xx - yy) * sh_t[13, c]
+                              + C3[5] * dz * (xx - yy) * sh_t[14, c]
+                              + C3[6] * dx * (xx - 3 * yy) * sh_t[15, c])
+    return [jnp.maximum(o + 0.5, 0.0) for o in out]
 
 
 def preprocess(
@@ -67,69 +106,108 @@ def preprocess(
       colors_precomp: optional [N,3] overriding SH evaluation (the
         `override_color` path of `StaticRoDyGS.render`).
     """
-    n = means3d.shape[0]
-    w2c = world_view_transform(camera)  # [4,4]
+    w2c = world_view_transform(camera)  # [4,4] (scalar entries below)
     P = proj_matrix(camera)
     full_proj = P @ w2c
+    V = [[w2c[i, j] for j in range(4)] for i in range(3)]
+    F = [[full_proj[i, j] for j in range(4)] for i in range(4)]
+
+    # one-time transposes into lane-friendly layout
+    mx, my, mz = (means3d[:, 0], means3d[:, 1], means3d[:, 2])
+    sx, sy, sz = (scales[:, 0] * scale_modifier, scales[:, 1] * scale_modifier,
+                  scales[:, 2] * scale_modifier)
+    qw, qx, qy, qz = (quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3])
 
     # NaN hygiene: dead capacity slots hold all-zero params (quat 0, xyz 0).
     # Any inf/NaN produced for them — even though they are culled — poisons
     # gradients of everything that sums over Gaussians (the camera pose!)
-    # through the 0-cotangent * NaN-primal trap. Substitute a harmless unit
-    # quaternion; depth-div-by-zero is guarded below with the same pattern.
+    # through the 0-cotangent * NaN-primal trap.
     if alive is not None:
-        unit_q = jnp.array([1.0, 0.0, 0.0, 0.0], quats.dtype)
-        quats = jnp.where(alive[:, None], quats, unit_q)
+        qw = jnp.where(alive, qw, 1.0)
+        qx = jnp.where(alive, qx, 0.0)
+        qy = jnp.where(alive, qy, 0.0)
+        qz = jnp.where(alive, qz, 0.0)
 
-    # View-space positions.
-    t = means3d @ w2c[:3, :3].T + w2c[:3, 3]  # [N,3]
-    depth = t[:, 2]
+    # View-space positions (explicit row products).
+    tx_v = V[0][0] * mx + V[0][1] * my + V[0][2] * mz + V[0][3]
+    ty_v = V[1][0] * mx + V[1][1] * my + V[1][2] * mz + V[1][3]
+    depth = V[2][0] * mx + V[2][1] * my + V[2][2] * mz + V[2][3]
     depth_ok = depth >= NEAR_CULL_Z
 
     # Clip-space -> NDC -> pixels.
-    hom = means3d @ full_proj[:3, :3].T + full_proj[:3, 3]
-    hom_w = means3d @ full_proj[3, :3] + full_proj[3, 3]
-    inv_w = 1.0 / jnp.where(depth_ok, hom_w + 1e-7, 1.0)
-    ndc = hom * inv_w[:, None]  # [N,3]
+    hx = F[0][0] * mx + F[0][1] * my + F[0][2] * mz + F[0][3]
+    hy = F[1][0] * mx + F[1][1] * my + F[1][2] * mz + F[1][3]
+    hw = F[3][0] * mx + F[3][1] * my + F[3][2] * mz + F[3][3]
+    inv_w = 1.0 / jnp.where(depth_ok, hw + 1e-7, 1.0)
     # ndc2Pix from the reference kernel: ((ndc + 1) * S - 1) * 0.5
-    px = ((ndc[:, 0] + 1.0) * image_width - 1.0) * 0.5
-    py = ((ndc[:, 1] + 1.0) * image_height - 1.0) * 0.5
-    mean2d = jnp.stack([px, py], axis=1)
+    px = ((hx * inv_w + 1.0) * image_width - 1.0) * 0.5
+    py = ((hy * inv_w + 1.0) * image_height - 1.0) * 0.5
 
     # EWA: 2D covariance = J W Sigma W^T J^T with clamped frustum coords.
     tan_x = jnp.tan(camera.fovx * 0.5)
     tan_y = jnp.tan(camera.fovy * 0.5)
     focal_x = image_width / (2.0 * tan_x)
     focal_y = image_height / (2.0 * tan_y)
-    limx = 1.3 * tan_x
-    limy = 1.3 * tan_y
-    tz = jnp.where(depth_ok, depth, 1.0)  # guarded divisor (see NaN hygiene)
-    txtz = jnp.clip(t[:, 0] / tz, -limx, limx)
-    tytz = jnp.clip(t[:, 1] / tz, -limy, limy)
-    tx = txtz * tz
-    ty = tytz * tz
-
-    cov3d = build_covariance(scales, quats, scale_modifier)  # [N,3,3]
-    W3 = w2c[:3, :3]
-    # J rows: [fx/tz, 0, -fx*tx/tz^2], [0, fy/tz, -fy*ty/tz^2] (3rd row zero).
+    tz = jnp.where(depth_ok, depth, 1.0)  # guarded divisor
+    txc = jnp.clip(tx_v / tz, -1.3 * tan_x, 1.3 * tan_x) * tz
+    tyc = jnp.clip(ty_v / tz, -1.3 * tan_y, 1.3 * tan_y) * tz
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    J = jnp.zeros((n, 2, 3), dtype=means3d.dtype)
-    J = J.at[:, 0, 0].set(focal_x * inv_z)
-    J = J.at[:, 0, 2].set(-focal_x * tx * inv_z2)
-    J = J.at[:, 1, 1].set(focal_y * inv_z)
-    J = J.at[:, 1, 2].set(-focal_y * ty * inv_z2)
-    T2 = jnp.einsum("nij,jk->nik", J, W3)  # [N,2,3]
-    cov2d = jnp.einsum("nij,njk,nlk->nil", T2, cov3d, T2)  # [N,2,2]
-    a = cov2d[:, 0, 0] + COV2D_DILATION
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + COV2D_DILATION
+    # J rows: [fx/tz, 0, -fx*tx/tz^2], [0, fy/tz, -fy*ty/tz^2].
+    j00 = focal_x * inv_z
+    j02 = -focal_x * txc * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * tyc * inv_z2
+
+    # Rotation matrix entries from the (normalized) quaternion.
+    qn2 = qw * qw + qx * qx + qy * qy + qz * qz + 1e-24
+    two_s = 2.0 / qn2
+    r00 = 1 - two_s * (qy * qy + qz * qz)
+    r01 = two_s * (qx * qy - qz * qw)
+    r02 = two_s * (qx * qz + qy * qw)
+    r10 = two_s * (qx * qy + qz * qw)
+    r11 = 1 - two_s * (qx * qx + qz * qz)
+    r12 = two_s * (qy * qz - qx * qw)
+    r20 = two_s * (qx * qz - qy * qw)
+    r21 = two_s * (qy * qz + qx * qw)
+    r22 = 1 - two_s * (qx * qx + qy * qy)
+
+    # Sigma = M M^T with M = R diag(s): six unique world-cov entries.
+    sx2, sy2, sz2 = sx * sx, sy * sy, sz * sz
+    c00 = r00 * r00 * sx2 + r01 * r01 * sy2 + r02 * r02 * sz2
+    c01 = r00 * r10 * sx2 + r01 * r11 * sy2 + r02 * r12 * sz2
+    c02 = r00 * r20 * sx2 + r01 * r21 * sy2 + r02 * r22 * sz2
+    c11 = r10 * r10 * sx2 + r11 * r11 * sy2 + r12 * r12 * sz2
+    c12 = r10 * r20 * sx2 + r11 * r21 * sy2 + r12 * r22 * sz2
+    c22 = r20 * r20 * sx2 + r21 * r21 * sy2 + r22 * r22 * sz2
+
+    # T = J @ W3 (2x3, per-Gaussian entries; W3 rows are scalars).
+    t00 = j00 * V[0][0] + j02 * V[2][0]
+    t01 = j00 * V[0][1] + j02 * V[2][1]
+    t02 = j00 * V[0][2] + j02 * V[2][2]
+    t10 = j11 * V[1][0] + j12 * V[2][0]
+    t11 = j11 * V[1][1] + j12 * V[2][1]
+    t12 = j11 * V[1][2] + j12 * V[2][2]
+
+    # cov2d = T Sigma T^T (2x2 symmetric).
+    # u_i = (T Sigma) row entries, then contract with T again.
+    u00 = t00 * c00 + t01 * c01 + t02 * c02
+    u01 = t00 * c01 + t01 * c11 + t02 * c12
+    u02 = t00 * c02 + t01 * c12 + t02 * c22
+    u10 = t10 * c00 + t11 * c01 + t12 * c02
+    u11 = t10 * c01 + t11 * c11 + t12 * c12
+    u12 = t10 * c02 + t11 * c12 + t12 * c22
+    a = u00 * t00 + u01 * t01 + u02 * t02 + COV2D_DILATION
+    b = u00 * t10 + u01 * t11 + u02 * t12
+    c = u10 * t10 + u11 * t11 + u12 * t12 + COV2D_DILATION
 
     det = a * c - b * b
     det_ok = det > 0.0
-    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
     # conic = (c, -b, a) / det; sigma = 0.5*(cx*dx^2 + cz*dy^2) + cy*dx*dy.
-    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=1)
+    con_a = c * inv_det
+    con_b = -b * inv_det
+    con_c = a * inv_det
 
     # Screen radius: 3 sigma of the max eigenvalue (with the kernel's 0.1
     # discriminant floor), ceil'd to int pixels.
@@ -140,24 +218,32 @@ def preprocess(
     # Color from SH in world space: direction from camera center to point.
     if colors_precomp is None:
         campos = camera_center(camera)
-        dirs = means3d - campos[None, :]
+        dx = mx - campos[0]
+        dy = my - campos[1]
+        dz = mz - campos[2]
         # sqrt(x+eps) instead of max(norm, eps): d||v||/dv at v=0 is NaN even
-        # under a max guard (0-cotangent trap again).
-        dn = jnp.sqrt(jnp.sum(dirs * dirs, axis=1, keepdims=True) + 1e-16)
-        rgb = sh_to_rgb_clamped(sh_degree, shs, dirs / dn)
+        # under a max guard (0-cotangent trap).
+        dn = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-16)
+        # shs: [N, K, 3] -> transpose to [K, 3, N] once.
+        sh_t = jnp.transpose(shs, (1, 2, 0))
+        r, g, b_ = _sh_eval_components(
+            sh_degree, sh_t, dx * dn, dy * dn, dz * dn)
+        rgb = jnp.stack([r, g, b_], axis=0)
     else:
-        rgb = colors_precomp
+        rgb = colors_precomp.T
 
     # View-space normal: shortest principal axis of the Gaussian, flipped to
     # face the camera (the `pose` fork's rendered_normal channel).
-    from ..ops.quaternion import quat_normalize, quat_to_matrix
-
-    R = quat_to_matrix(quat_normalize(quats))  # [N,3,3] columns = axes
-    min_axis = jnp.argmin(scales, axis=1)  # [N]
-    axis_world = jnp.take_along_axis(R, min_axis[:, None, None].repeat(3, 1), axis=2)[:, :, 0]
-    normal_view = axis_world @ W3.T
-    flip = jnp.where(normal_view[:, 2:3] > 0, -1.0, 1.0)
-    normal_view = normal_view * flip
+    ax_x = jnp.where(sx <= jnp.minimum(sy, sz), r00,
+                     jnp.where(sy <= sz, r01, r02))
+    ax_y = jnp.where(sx <= jnp.minimum(sy, sz), r10,
+                     jnp.where(sy <= sz, r11, r12))
+    ax_z = jnp.where(sx <= jnp.minimum(sy, sz), r20,
+                     jnp.where(sy <= sz, r21, r22))
+    nvx = V[0][0] * ax_x + V[0][1] * ax_y + V[0][2] * ax_z
+    nvy = V[1][0] * ax_x + V[1][1] * ax_y + V[1][2] * ax_z
+    nvz = V[2][0] * ax_x + V[2][1] * ax_y + V[2][2] * ax_z
+    flip = jnp.where(nvz > 0, -1.0, 1.0)
 
     visible = depth_ok & det_ok & (radius_f > 0)
     if alive is not None:
@@ -165,12 +251,12 @@ def preprocess(
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
 
     return Splats2D(
-        mean2d=mean2d,
-        conic=conic,
+        mean2d=jnp.stack([px, py], axis=0),
+        conic=jnp.stack([con_a, con_b, con_c], axis=0),
         depth=depth,
         rgb=rgb,
         opacity=opacities,
-        normal=normal_view,
+        normal=jnp.stack([nvx * flip, nvy * flip, nvz * flip], axis=0),
         radius=radius,
         visible=visible,
     )

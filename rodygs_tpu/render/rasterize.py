@@ -43,16 +43,17 @@ def default_fragment_budget(image_width: int, image_height: int, n: int) -> int:
 
 def _pack_records(splats: Splats2D) -> jnp.ndarray:
     """Field-major [16, N+1] record matrix; trailing all-zero dummy column
-    (id N) absorbs padded fragment slots."""
-    n = splats.mean2d.shape[0]
+    (id N) absorbs padded fragment slots. Splats2D is already transposed —
+    this is pure concatenation, no layout changes."""
+    n = splats.mean2d.shape[1]
     rec = jnp.concatenate(
         [
-            splats.mean2d.T,                  # rows 0:2
-            splats.conic.T,                   # rows 2:5
+            splats.mean2d,                    # rows 0:2
+            splats.conic,                     # rows 2:5
             splats.opacity[None, :],          # row 5
-            splats.rgb.T,                     # rows 6:9
+            splats.rgb,                       # rows 6:9
             splats.depth[None, :],            # row 9
-            splats.normal.T,                  # rows 10:13
+            splats.normal,                    # rows 10:13
             jnp.ones((1, n), jnp.float32),    # row 13 (const feature)
             jnp.zeros((2, n), jnp.float32),   # rows 14:16 pad
         ],
@@ -101,9 +102,10 @@ def render(
         colors_precomp=colors_precomp,
     )
     if means2d_offset is not None:
-        # Densification-stat hook: offset is zeros; its cotangent is
-        # dL/dmeans2d in the reference's scaled-NDC units.
-        scale = jnp.array([0.5 * image_width, 0.5 * image_height], jnp.float32)
+        # Densification-stat hook: offset is a zero [2, N] array; its
+        # cotangent is dL/dmeans2d in the reference's scaled-NDC units.
+        scale = jnp.array([[0.5 * image_width], [0.5 * image_height]],
+                          jnp.float32)
         splats = splats._replace(mean2d=splats.mean2d + means2d_offset / scale)
 
     binning = bin_splats(

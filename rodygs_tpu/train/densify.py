@@ -65,9 +65,9 @@ def init_stats(capacity: int) -> DensifyStats:
 def accumulate_stats(stats: DensifyStats, means2d_grad: jnp.ndarray,
                      radii: jnp.ndarray, visible: jnp.ndarray) -> DensifyStats:
     """Per-step update (`add_densification_stats` + max-radii tracking,
-    `rodygs_static.py:395-403,424-427`). `means2d_grad` is [C,2] in the
+    `rodygs_static.py:395-403,424-427`). `means2d_grad` is [2, C] in the
     reference's scaled-NDC units."""
-    gnorm = jnp.linalg.norm(means2d_grad, axis=-1)
+    gnorm = jnp.sqrt(means2d_grad[0] ** 2 + means2d_grad[1] ** 2)
     vis = visible.astype(jnp.float32)
     return DensifyStats(
         grad_accum=stats.grad_accum + gnorm * vis,

@@ -126,14 +126,14 @@ class RoDyGSTrainer:
         params = DynParams(gauss=dyn_state.store.params,
                            motion_coeff=dyn_state.motion_coeff,
                            net=dyn_state.net)
-        offset0 = jnp.zeros((cs + cd, 2), jnp.float32)
+        offset0 = jnp.zeros((2, cs + cd), jnp.float32)
         (total, aux), (g_params, g_offset) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, offset0)
 
         new_params, new_opt = adam_update(
             g_params, dyn_state.opt, params, dyn.lr_tree(iteration))
         new_stats = accumulate_stats(
-            dyn_state.stats, g_offset[cs:],
+            dyn_state.stats, g_offset[:, cs:],
             aux["radii"].astype(jnp.float32), aux["visible"])
 
         new_state = dyn_state._replace(

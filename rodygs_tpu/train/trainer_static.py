@@ -189,7 +189,7 @@ class ThreeDGSTrainer:
             }
             return total, aux
 
-        offset0 = jnp.zeros((G.capacity_of(state.store), 2), jnp.float32)
+        offset0 = jnp.zeros((2, G.capacity_of(state.store)), jnp.float32)
         (total, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
                                                  has_aux=True)(
             state.store.params, state.poses, offset0)

@@ -116,7 +116,7 @@ class TestBackward:
 
     def test_means2d_offset_grad_is_screen_grad(self):
         means, scales, quats, opac, shs, cam = make_scene(n=40)
-        zero = jnp.zeros((40, 2))
+        zero = jnp.zeros((2, 40))
 
         def loss(off):
             out = render(means, shs, opac, scales, quats, cam, 0, W, H,
