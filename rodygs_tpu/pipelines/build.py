@@ -111,7 +111,7 @@ class TrainingRun:
     def __init__(self, joint: RoDyGSTrainer, static_dm: GSDataModule,
                  dynamic_dm: GSDataModule | None, num_iterations: int,
                  logdir: Path | None, log_freq: int = 50, seed: int = 777,
-                 logger=None):
+                 logger=None, checkpoint_every: int = 0):
         self.joint = joint
         self.static_dm = static_dm
         self.dynamic_dm = dynamic_dm
@@ -120,6 +120,9 @@ class TrainingRun:
         self.log_freq = log_freq
         self.seed = seed
         self.logger = logger
+        # 0 = end-only (reference behavior); >0 = also save a resumable
+        # snapshot every k iterations (crash recovery the reference lacks).
+        self.checkpoint_every = checkpoint_every
 
     def _log(self, msg: str):
         if self.logger is not None:
@@ -127,8 +130,18 @@ class TrainingRun:
         else:
             print(msg)
 
-    def train(self):
+    def train(self, resume: bool = False):
+        from ..utils.profiling import StepTimer
+
         key = jax.random.key(self.seed)
+        start_iter = 1
+        resume_path = (self.logdir / "resume.ckpt"
+                       if self.logdir is not None else None)
+        if resume and resume_path is not None and resume_path.exists():
+            self.joint.logdir = Path(self.logdir)
+            start_iter, key = self.joint.load_resume(resume_path)
+            self._log(f"resumed from {resume_path} at iteration {start_iter}")
+        timer = StepTimer()
         static_iter = iter(self.static_dm.get_train_sampler())
         dyn_iter = (iter(self.dynamic_dm.get_train_sampler())
                     if self.dynamic_dm is not None
@@ -137,7 +150,7 @@ class TrainingRun:
         dyn_dset = (self.dynamic_dm.get_train_dset()
                     if dyn_iter is not None else None)
         t0 = time.time()
-        for it in range(1, self.num_iterations + 1):
+        for it in range(start_iter, self.num_iterations + 1):
             sidx = next(static_iter)
             sb = make_frame_batch(static_dset[sidx], sidx)
             db = None
@@ -146,14 +159,21 @@ class TrainingRun:
                 db = make_frame_batch(dyn_dset[didx], didx)
             key, sub = jax.random.split(key)
             metrics = self.joint.train_iteration(sb, db, it, sub)
+            timer.tick()
+            if (self.checkpoint_every and self.logdir is not None
+                    and it % self.checkpoint_every == 0):
+                self.joint.logdir = Path(self.logdir)
+                self.joint.save_resume(self.logdir / "resume.ckpt", it, key)
             if it % self.log_freq == 0 or it == 1:
                 s_loss = float(metrics["static"]["loss"])
                 d_loss = (float(metrics["dynamic"]["loss"])
                           if "dynamic" in metrics else float("nan"))
                 alive_s = int(G.num_alive(self.joint.static.state.store))
+                tstats = timer.summary()
                 self._log(
                     f"[{it}/{self.num_iterations}] static {s_loss:.4f} "
                     f"dynamic {d_loss:.4f} N_static {alive_s} "
+                    f"step p50 {tstats.get('p50_ms', 0):.0f}ms "
                     f"({(time.time() - t0):.0f}s)")
         if self.logdir is not None:
             self.joint.logdir = Path(self.logdir)

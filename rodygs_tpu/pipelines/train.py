@@ -31,7 +31,7 @@ def check_argument_sanity(args) -> None:
 
 def set_traindir(args) -> Path:
     logdir = Path(args.logdir) / args.group / f"{args.name}_{args.seed}" / "train"
-    logdir.mkdir(parents=True, exist_ok=args.debug)
+    logdir.mkdir(parents=True, exist_ok=args.debug or args.resume)
     return logdir
 
 
@@ -91,6 +91,10 @@ def parse_args(argv=None):
     parser.add_argument("-s", "--seed", type=int, default=777)
     parser.add_argument("--num_iterations", type=int, default=None)
     parser.add_argument("--capacity_factor", type=float, default=4.0)
+    parser.add_argument("--checkpoint_every", type=int, default=0,
+                        help="save a resumable snapshot every k iterations")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from <logdir>/resume.ckpt if present")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--verbose", action="store_true")
     args, unknown = parser.parse_known_args(argv)
@@ -117,8 +121,9 @@ def main(argv=None):
     run = build_training_run(
         config, dirpath=args.datadir, logdir=logdir, seed=args.seed,
         capacity_factor=args.capacity_factor, logger=logger)
+    run.checkpoint_every = args.checkpoint_every
     logger.info(f"training for {run.num_iterations} iterations")
-    run.train()
+    run.train(resume=args.resume)
 
 
 if __name__ == "__main__":

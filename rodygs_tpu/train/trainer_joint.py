@@ -207,3 +207,44 @@ class RoDyGSTrainer:
         if not self.skip_dynamic:
             save_checkpoint(self.logdir / "dynamic_last.ckpt",
                             self.dynamic.state_dict(iteration), iteration)
+
+    # --- mid-training resume (new capability: the reference checkpoints only
+    # at the END of training and has no resume path — SURVEY.md §5.4) -------
+
+    def save_resume(self, path, iteration: int, key):
+        from ..utils.checkpoint import save_checkpoint
+
+        payload = {
+            "iteration": iteration,
+            "rng_key": jax.random.key_data(key),
+            "static": {"state": self.static.state,
+                       "sh": self.static.active_sh_degree},
+        }
+        if not self.skip_dynamic:
+            payload["dynamic"] = {"state": self.dynamic.state,
+                                  "sh": self.dynamic.active_sh_degree,
+                                  "unique_times": self.dynamic.unique_times}
+        save_checkpoint(path, payload, iteration)
+
+    def load_resume(self, path):
+        """Restore trainer state; returns (next_iteration, rng_key)."""
+        from ..utils.checkpoint import load_checkpoint
+
+        payload, iteration = load_checkpoint(path)
+
+        def as_jnp(tree):
+            return jax.tree.map(jnp.asarray, tree)
+
+        self.static.state = jax.tree.unflatten(
+            jax.tree.structure(self.static.state),
+            jax.tree.leaves(as_jnp(payload["static"]["state"])))
+        self.static.active_sh_degree = int(payload["static"]["sh"])
+        if not self.skip_dynamic and "dynamic" in payload:
+            self.dynamic.state = jax.tree.unflatten(
+                jax.tree.structure(self.dynamic.state),
+                jax.tree.leaves(as_jnp(payload["dynamic"]["state"])))
+            self.dynamic.active_sh_degree = int(payload["dynamic"]["sh"])
+            self.dynamic.unique_times = jnp.asarray(
+                payload["dynamic"]["unique_times"])
+        key = jax.random.wrap_key_data(jnp.asarray(payload["rng_key"]))
+        return iteration + 1, key

@@ -236,3 +236,31 @@ class TestFullPipeline:
         pred_pngs = list((logdir / "eval" / "pred" / "viz").glob("*.png"))
         assert len(pred_pngs) == 5
         assert (logdir / "eval" / "video.mp4").exists()
+
+
+class TestResume:
+    def test_resume_roundtrip(self, scene_dir, train_config, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from rodygs_tpu.pipelines.build import build_training_run
+
+        cfg = dict(train_config)
+        run = build_training_run(cfg, dirpath=str(scene_dir),
+                                 logdir=tmp_path, seed=3, capacity_factor=2.0)
+        run.num_iterations = 12
+        run.checkpoint_every = 6
+        run.train()
+        assert (tmp_path / "resume.ckpt").exists()
+        xyz_after = np.asarray(run.joint.static.state.store.params.xyz)
+
+        # fresh run object resumes to the same state
+        run2 = build_training_run(cfg, dirpath=str(scene_dir),
+                                  logdir=tmp_path, seed=3, capacity_factor=2.0)
+        next_it, key = run2.joint.load_resume(tmp_path / "resume.ckpt")
+        assert next_it == 13
+        np.testing.assert_allclose(
+            np.asarray(run2.joint.static.state.store.params.xyz), xyz_after)
+        assert run2.joint.dynamic is not None
+        np.testing.assert_allclose(
+            np.asarray(run2.joint.dynamic.state.motion_coeff),
+            np.asarray(run.joint.dynamic.state.motion_coeff))
