@@ -44,23 +44,28 @@ TILE = 16          # pixels per tile side (matches the reference's 16x16 blocks)
 CHUNK = 128        # fragments processed per kernel inner step
 
 # Tier span budgets (tiles) and slot fractions. Tier 1 covers every
-# Gaussian up to a 4x4-tile footprint (~24 px radius); tier 2 gives N/4
-# compacted slots for footprints up to 8x8 (~56 px); tier 3 gives N/64 slots
-# up to 16x16 (~120 px). Beyond that, spans clamp (right/bottom cut) and
-# `overflow` reports it. Fragment capacity = N*(16 + 64/4 + 256/64) = 36N.
+# Gaussian up to a 4x4-tile footprint (~24 px radius); tier 2 gives N/frac
+# compacted slots for footprints up to 8x8 (~56 px); tier 3 up to 16x16
+# (~120 px). Beyond that, spans clamp (right/bottom cut) and `overflow`
+# reports it. Every fragment-scale op (sort, gather, scatter-add transpose)
+# scales with the budget, so `FRAGMENT_PROFILES` offers capacity presets:
+# trainers start at "lean" and re-jit on "wide" when `overflow` fires
+# (trained scenes have small footprints; early training / random blobs not).
 K1W, K1H = 4, 4
-TIERS = (  # (span_w, span_h, fraction of N reserved)
-    (8, 8, 4),
-    (16, 16, 64),
-)
+FRAGMENT_PROFILES = {
+    # name: ((span_w, span_h, fraction of N), ...) for the compacted tiers
+    "lean": ((8, 8, 8), (16, 16, 128)),    # capacity = 16N + 8N + 2N = 26N
+    "wide": ((8, 8, 2), (16, 16, 16)),     # capacity = 16N + 32N + 16N = 64N
+}
+TIERS = FRAGMENT_PROFILES["lean"]
 
 
 class TileBinning(NamedTuple):
-    padded_gid: jnp.ndarray     # [P_pad] int32 gaussian id per slot (N => dummy)
-    tile_starts: jnp.ndarray    # [T] int32 slot offset of each tile's range
-    tile_nchunks: jnp.ndarray   # [T] int32 number of CHUNK-steps per tile
+    padded_gid: jnp.ndarray     # [P_round] int32 sorted gaussian id (N => dummy)
+    tile_starts: jnp.ndarray    # [T] int32 UNALIGNED offset of each tile's range
+    tile_counts: jnp.ndarray    # [T] int32 fragments per tile
     num_fragments: jnp.ndarray  # [] int32 true (clamped) fragment count
-    overflow: jnp.ndarray      # [] bool — some Gaussian exceeded tier-2 span
+    overflow: jnp.ndarray      # [] bool — some Gaussian exceeded the top tier
 
 
 def tile_grid(image_width: int, image_height: int) -> tuple[int, int]:
@@ -82,20 +87,26 @@ def _tile_rect(mean2d, radius, tiles_x: int, tiles_y: int):
 def _expand_tier(xmin, ymin, span_w, span_h, depth, gid, valid,
                  kw: int, kh: int, tiles_x: int, num_tiles: int, n_dummy: int):
     """Broadcast a [M]-Gaussian set against a static [kw*kh] tile iota.
-    Returns flat (tile_id, depth, gid) arrays of length M*kw*kh."""
+
+    K-major [K, M] orientation: M stays in the 128-lane axis (an [M, K]
+    layout pads K to 128 lanes — 8-32x wasted VPU work). Returns flat
+    (tile_id, depth, gid) arrays of length K*M; fragment order within equal
+    (tile, depth) keys is k-major rather than the CUDA reference's
+    gaussian-major — only tie order differs."""
     k = jnp.arange(kw * kh, dtype=jnp.int32)
-    kx = (k % kw)[None, :]
-    ky = (k // kw)[None, :]
-    ok = valid[:, None] & (kx < span_w[:, None]) & (ky < span_h[:, None])
-    tid = (ymin[:, None] + ky) * tiles_x + (xmin[:, None] + kx)
+    kx = (k % kw)[:, None]
+    ky = (k // kw)[:, None]
+    ok = valid[None, :] & (kx < span_w[None, :]) & (ky < span_h[None, :])
+    tid = (ymin[None, :] + ky) * tiles_x + (xmin[None, :] + kx)
     tid = jnp.where(ok, tid, num_tiles)
-    d = jnp.where(ok, depth[:, None], jnp.inf)
-    g = jnp.where(ok, gid[:, None], n_dummy)
+    d = jnp.where(ok, depth[None, :], jnp.inf)
+    g = jnp.where(ok, gid[None, :], n_dummy)
     return tid.reshape(-1), jnp.broadcast_to(d, tid.shape).reshape(-1), \
         jnp.broadcast_to(g, tid.shape).reshape(-1), ok
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "max_fragments"))
+@functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y",
+                                              "max_fragments", "profile"))
 def bin_splats(
     mean2d: jnp.ndarray,
     depth: jnp.ndarray,
@@ -104,9 +115,11 @@ def bin_splats(
     tiles_x: int,
     tiles_y: int,
     max_fragments: int | None = None,  # kept for API compat; capacity is N-derived
+    profile: str = "lean",
 ) -> TileBinning:
     """Build the padded, depth-sorted per-tile fragment index structure.
     mean2d is transposed [2, N]."""
+    tiers = FRAGMENT_PROFILES[profile]
     n = mean2d.shape[1]
     num_tiles = tiles_x * tiles_y
 
@@ -125,10 +138,10 @@ def bin_splats(
     # --- higher tiers: compacted slots for progressively larger spans -------
     overflow = jnp.zeros((), bool)
     prev_w, prev_h = K1W, K1H
-    for kw, kh, frac in TIERS:
+    for kw, kh, frac in tiers:
         n_slots = -(-n // frac)
         in_tier = nonempty & ((span_w > prev_w) | (span_h > prev_h))
-        last = (kw, kh) == TIERS[-1][:2]
+        last = (kw, kh) == tiers[-1][:2]
         if not last:
             in_tier = in_tier & (span_w <= kw) & (span_h <= kh)
         rank = jnp.where(in_tier, jnp.cumsum(in_tier) - 1, n_slots)
@@ -155,40 +168,27 @@ def bin_splats(
     s_tile, _, s_gid = jax.lax.sort(
         (tile_id, frag_depth, frag_gid), num_keys=2, is_stable=True)
 
-    # --- per-tile ranges by counting ----------------------------------------
-    counts = jnp.zeros((num_tiles + 1,), jnp.int32).at[s_tile].add(1)
-    tcounts = counts[:num_tiles]
-    starts = (jnp.cumsum(tcounts) - tcounts).astype(jnp.int32)
-    nchunks = -(-tcounts // CHUNK)
-    padded_counts = nchunks * CHUNK
-    padded_starts = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
+    # --- per-tile ranges via binary search on the sorted keys ---------------
+    # (a scatter-add histogram compiles to a ~40ms serialized op on TPU;
+    # 2*num_tiles binary searches are ~free)
+    tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(s_tile, tile_idx, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(s_tile, tile_idx, side="right").astype(jnp.int32)
+    tcounts = ends - starts
     total = jnp.sum(tcounts)
 
-    # Chunk-padding worst case: every tile rounds up by CHUNK-1.
-    p_pad = p_total + num_tiles * (CHUNK - 1)
-
-    # --- padded re-layout without fragment-scale gathers --------------------
-    # dest[i] = i + delta(tile of i), delta = padded_start - start per tile.
-    # delta is non-decreasing along the sorted array, and the first fragment
-    # of tile t sits exactly at starts[t]: scatter delta there, cummax-fill.
-    delta_by_tile = padded_starts - starts  # [T], >= 0, non-decreasing
-    delta_arr = jnp.full((p_total,), -1, jnp.int32)
-    # only scatter boundaries of non-empty tiles (empty tiles share `starts`
-    # with the next tile; max keeps the larger delta which is the correct one)
-    delta_arr = delta_arr.at[jnp.where(tcounts > 0, starts, p_total)].max(
-        jnp.where(tcounts > 0, delta_by_tile, -1), mode="drop")
-    delta_fill = jax.lax.cummax(delta_arr)
-    pos = jnp.arange(p_total, dtype=jnp.int32)
-    in_range = pos < total
-    dest = jnp.where(in_range, pos + jnp.maximum(delta_fill, 0), p_pad)
-
-    padded_gid = jnp.full((p_pad,), n, jnp.int32)
-    padded_gid = padded_gid.at[dest].set(s_gid, mode="drop")
+    # The kernel reads UNALIGNED tile ranges directly from the sorted order
+    # (aligned-overlap chunks with row masks) — no re-layout pass. Pad the
+    # sorted ids to a CHUNK multiple plus one spill chunk of dummies so every
+    # aligned chunk DMA stays in bounds.
+    p_round = -(-p_total // CHUNK) * CHUNK + CHUNK
+    padded_gid = jnp.full((p_round,), n, jnp.int32)
+    padded_gid = padded_gid.at[:p_total].set(s_gid)
 
     return TileBinning(
         padded_gid=padded_gid,
-        tile_starts=padded_starts,
-        tile_nchunks=nchunks,
+        tile_starts=starts,
+        tile_counts=tcounts,
         num_fragments=total,
         overflow=overflow,
     )

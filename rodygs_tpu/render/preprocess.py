@@ -112,11 +112,15 @@ def preprocess(
     V = [[w2c[i, j] for j in range(4)] for i in range(3)]
     F = [[full_proj[i, j] for j in range(4)] for i in range(4)]
 
-    # one-time transposes into lane-friendly layout
-    mx, my, mz = (means3d[:, 0], means3d[:, 1], means3d[:, 2])
-    sx, sy, sz = (scales[:, 0] * scale_modifier, scales[:, 1] * scale_modifier,
-                  scales[:, 2] * scale_modifier)
-    qw, qx, qy, qz = (quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3])
+    # one-time transposes into lane-friendly layout (a single [3,N]-style
+    # relayout each, instead of strided [:, i] slices from the padded [N,3])
+    m_t = means3d.T
+    s_t = scales.T
+    q_t = quats.T
+    mx, my, mz = m_t[0], m_t[1], m_t[2]
+    sx, sy, sz = (s_t[0] * scale_modifier, s_t[1] * scale_modifier,
+                  s_t[2] * scale_modifier)
+    qw, qx, qy, qz = q_t[0], q_t[1], q_t[2], q_t[3]
 
     # NaN hygiene: dead capacity slots hold all-zero params (quat 0, xyz 0).
     # Any inf/NaN produced for them — even though they are culled — poisons

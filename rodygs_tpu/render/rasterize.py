@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .binning import CHUNK, TILE, bin_splats, tile_grid
 from .camera import Camera
@@ -62,10 +63,11 @@ def _pack_records(splats: Splats2D) -> jnp.ndarray:
     return jnp.concatenate([rec, jnp.zeros((16, 1), jnp.float32)], axis=1)
 
 
+
 @functools.partial(
     jax.jit,
     static_argnames=("sh_degree", "image_width", "image_height",
-                     "max_fragments", "tile_axis"),
+                     "max_fragments", "tile_axis", "fragment_profile"),
 )
 def render(
     means3d: jnp.ndarray,
@@ -84,6 +86,7 @@ def render(
     colors_precomp: jnp.ndarray | None = None,
     max_fragments: int | None = None,
     tile_axis: str | None = None,
+    fragment_profile: str = "lean",
 ):
     """Differentiable tile rasterization of N Gaussians.
 
@@ -112,22 +115,27 @@ def render(
         jax.lax.stop_gradient(splats.mean2d),
         jax.lax.stop_gradient(splats.depth),
         splats.radius, splats.visible,
-        tiles_x, tiles_y, max_fragments,
+        tiles_x, tiles_y, max_fragments, profile=fragment_profile,
     )
 
     records = _pack_records(splats)  # [16, N+1]
+    # NOTE on the gather's autodiff transpose (a scatter-add over ~P
+    # duplicate indices): measured ~65ms at P=4.7M on v5e. Alternatives that
+    # permute P-sized data (inverse-permutation + structural reshape-sums)
+    # measured WORSE (any P-scale gather/scatter costs 20-70ms). The lever
+    # that works is shrinking P via the tier budget (binning.TIERS).
     padded = jnp.take(records, binning.padded_gid, axis=1)  # differentiable
 
     if tile_axis is None:
         tile_out = rasterize_tiles(
-            padded, binning.tile_starts, binning.tile_nchunks, tiles_x)
+            padded, binning.tile_starts, binning.tile_counts, tiles_x)
     else:
         # Tile-space sharding (see parallel/): this device composites a
         # contiguous slice of the tile grid; outputs reassemble with a tiled
         # all_gather whose VJP routes each device exactly its own tiles'
-        # cotangents. Gradients for fragment rows outside the local range are
-        # masked (rasterize_tiles_ranged) so the per-device scatter-add only
-        # carries local contributions — the caller psums over the axis.
+        # cotangents. The backward read-modify-write only ever adds to rows
+        # the local tiles own, so per-device gradient contributions are
+        # naturally local — the caller psums over the axis.
         from .tile_kernel import rasterize_tiles_ranged
 
         n_shards = jax.lax.axis_size(tile_axis)
@@ -135,20 +143,14 @@ def render(
         t_local = -(-num_tiles // n_shards)
         shard = jax.lax.axis_index(tile_axis)
         t0 = shard * t_local
-        # Last shard may extend past num_tiles: pad with zero-chunk tiles
-        # whose start is the array end (never DMA'd; keeps `hi` correct).
+        # Last shard may extend past num_tiles: pad with zero-count tiles.
         pad = n_shards * t_local - num_tiles
-        p_pad = padded.shape[1]
-        starts_ext = jnp.pad(binning.tile_starts, (0, pad),
-                             constant_values=p_pad)
-        nchunks_ext = jnp.pad(binning.tile_nchunks, (0, pad))
+        starts_ext = jnp.pad(binning.tile_starts, (0, pad))
+        counts_ext = jnp.pad(binning.tile_counts, (0, pad))
         local_starts = jax.lax.dynamic_slice(starts_ext, (t0,), (t_local,))
-        local_nchunks = jax.lax.dynamic_slice(nchunks_ext, (t0,), (t_local,))
-        lo = local_starts[0]
-        hi = local_starts[-1] + local_nchunks[-1] * CHUNK
+        local_counts = jax.lax.dynamic_slice(counts_ext, (t0,), (t_local,))
         local_out = rasterize_tiles_ranged(
-            padded, local_starts, local_nchunks,
-            jnp.stack([lo, hi]).astype(jnp.int32),
+            padded, local_starts, local_counts,
             jnp.reshape(t0, (1,)).astype(jnp.int32), tiles_x)
         gathered = jax.lax.all_gather(
             local_out, tile_axis, axis=0, tiled=True)  # [n*t_local, 8, 256]

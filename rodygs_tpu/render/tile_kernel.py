@@ -5,22 +5,30 @@ Stage 3 of the rasterizer (DESIGN.md). Replaces the reference's CUDA
 with a TPU-native formulation:
 
   * Fragment records are FIELD-MAJOR `[16, P]` so a CHUNK=128-fragment slice
-    is a `[16, 128]` HBM block — exactly lane-aligned for DMA (Mosaic requires
-    the sliced trailing dim to be a multiple of 128).
+    is a `[16, 128]` HBM block — exactly lane-aligned for DMA (Mosaic
+    requires the sliced trailing dim to be a multiple of 128).
+  * Tiles read the depth-sorted fragment array DIRECTLY at their (unaligned)
+    ranges: each tile's chunks start at the 128-aligned floor of its range
+    and per-row validity masks trim the overlap into neighboring tiles. This
+    removes any need to re-layout fragments into aligned per-tile ranges
+    (a ~20 ms scatter at 512^2 scale).
   * Per-chunk compute lives in `[PIX=256(sublanes), CHUNK=128(lanes)]`
     arrays: pixels broadcast from `[256,1]` columns, fragment fields from
     `[1,128]` rows — no transposes anywhere in the kernel.
   * Sequential front-to-back alpha compositing is re-expressed in closed
     form: within a chunk, log-transmittance prefix sums are an upper-
-    triangular matmul (`log(1-alpha) @ U`), and the 8-channel weighted
-    accumulation is `[8,CHUNK] x [PIX,CHUNK]^T` — both ride the MXU. A
-    `[PIX,1]` log-transmittance carry links chunks; a `while_loop` stops
-    early once every pixel in the tile is saturated (T < 1e-4) — the
-    vectorized equivalent of the CUDA warp's `done` flag.
-  * The backward pass re-traverses the same chunks (recompute; the only saved
-    state is the forward output) and emits per-fragment gradient records; the
-    per-Gaussian scatter-add that CUDA does with atomicAdd happens outside
-    via the autodiff VJP of the `jnp.take` gather (sorted, conflict-free).
+    triangular matmul, and the 8-channel weighted accumulation is
+    `[8,CHUNK] x [PIX,CHUNK]^T` — both ride the MXU. A `[PIX,1]`
+    log-transmittance carry links chunks; a `while_loop` stops early once
+    every pixel in the tile is saturated (T < 1e-4) — the vectorized
+    equivalent of the CUDA warp's `done` flag.
+  * The backward pass re-traverses the same chunks (recompute; the only
+    saved state is the forward output) and ACCUMULATES per-fragment gradient
+    records into a pre-zeroed, input-output-aliased array via
+    read-modify-write DMA — safe across tile-boundary chunk overlaps because
+    the grid runs sequentially on a core. The per-Gaussian reduction then
+    happens outside through the autodiff VJP of the records gather (a
+    scatter-add; sorted, conflict-free — no atomics anywhere).
 
 Record rows (f32, 16 x P):
   0:mx 1:my 2:conic_a 3:conic_b 4:conic_c 5:opacity
@@ -89,11 +97,18 @@ def _triu_incl():
     return (r <= c).astype(jnp.float32)
 
 
-def _chunk_blend(rec, px, py, log_t):
+def _row_valid(chunk_global_start, start, count):
+    """[1, CHUNK] mask: which lanes of this chunk belong to [start, start+count)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    g = chunk_global_start + lane
+    return (g >= start) & (g < start + count)
+
+
+def _chunk_blend(rec, px, py, log_t, valid):
     """Shared fwd/bwd per-chunk math.
 
-    rec: [16, CHUNK] field-major records; px/py: [PIX, 1]; log_t: [PIX, 1].
-    Returns per-(pixel, fragment) arrays of shape [PIX, CHUNK].
+    rec: [16, CHUNK] field-major records; px/py: [PIX, 1]; log_t: [PIX, 1];
+    valid: [1, CHUNK] row-ownership mask. Returns [PIX, CHUNK] arrays.
     """
     dx = px - rec[_MX:_MX + 1, :]
     dy = py - rec[_MY:_MY + 1, :]
@@ -104,7 +119,7 @@ def _chunk_blend(rec, px, py, log_t):
     g = jnp.exp(-sigma)
     unclamped = rec[_OP:_OP + 1, :] * g
     alpha = jnp.minimum(ALPHA_MAX, unclamped)
-    alpha = jnp.where((sigma >= 0) & (alpha >= ALPHA_EPS), alpha, 0.0)
+    alpha = jnp.where((sigma >= 0) & (alpha >= ALPHA_EPS) & valid, alpha, 0.0)
     lg = jnp.log1p(-alpha)
     prefix_incl = _mm(lg, _triu_incl(), _CONTRACT_MID)  # [PIX, CHUNK]
     log_t_incl = log_t + prefix_incl
@@ -113,18 +128,30 @@ def _chunk_blend(rec, px, py, log_t):
     return dx, dy, sigma, g, unclamped, alpha, lg, log_t_incl, contrib, w
 
 
-def _fwd_kernel(starts_ref, nchunks_ref, offset_ref, records_ref, out_ref,
+def _chunk_base(start):
+    """128-aligned floor of a tile's first fragment index."""
+    return pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+
+
+def _num_chunks(start, count):
+    n = (start - (start // CHUNK) * CHUNK + count + CHUNK - 1) // CHUNK
+    return jnp.where(count > 0, n, 0)
+
+
+def _fwd_kernel(starts_ref, counts_ref, offset_ref, records_ref, out_ref,
                 buf, sems, *, tiles_x: int):
     t = pl.program_id(0)
     start = starts_ref[t]
-    nchunks = nchunks_ref[t]
+    count = counts_ref[t]
+    base = _chunk_base(start)
+    nchunks = _num_chunks(start, count)
     # offset maps the local grid index to the global tile id (tile-sharded
     # rendering passes a slice of the tile range arrays).
     px, py = _pixel_coords(offset_ref[0] + t, tiles_x)
 
     def dma(slot, c):
         return pltpu.make_async_copy(
-            records_ref.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)],
+            records_ref.at[:, pl.ds(pl.multiple_of(base + c * CHUNK, CHUNK), CHUNK)],
             buf.at[slot],
             sems.at[slot],
         )
@@ -147,7 +174,9 @@ def _fwd_kernel(starts_ref, nchunks_ref, offset_ref, records_ref, out_ref,
 
         dma(slot, c).wait()
         rec = buf[slot]  # [16, CHUNK]
-        (_, _, _, _, _, alpha, lg, _, _, w) = _chunk_blend(rec, px, py, log_t)
+        valid = _row_valid(base + c * CHUNK, start, count)
+        (_, _, _, _, _, alpha, lg, _, _, w) = _chunk_blend(
+            rec, px, py, log_t, valid)
         feat = rec[_FEAT0:_FEAT1, :]  # [8, CHUNK]
         # acc[c,p] += sum_k feat[c,k] * w[p,k]
         acc = acc + _mm(feat, w, _CONTRACT_LAST)
@@ -169,12 +198,15 @@ def _fwd_kernel(starts_ref, nchunks_ref, offset_ref, records_ref, out_ref,
     out_ref[0] = acc
 
 
-def _bwd_kernel(starts_ref, nchunks_ref, offset_ref, records_ref, out_in_ref,
-                gout_ref, d_records_ref, buf, dbuf, sems, store_sem,
-                *, tiles_x: int):
+def _bwd_kernel(starts_ref, counts_ref, offset_ref, records_ref, dzero_ref,
+                out_in_ref, gout_ref, d_records_ref, buf, dbuf, sems,
+                store_sem, *, tiles_x: int):
+    del dzero_ref  # aliased to d_records_ref; pre-zeroed by the caller
     t = pl.program_id(0)
     start = starts_ref[t]
-    nchunks = nchunks_ref[t]
+    count = counts_ref[t]
+    base = _chunk_base(start)
+    nchunks = _num_chunks(start, count)
     px, py = _pixel_coords(offset_ref[0] + t, tiles_x)
     gtile = gout_ref[0]  # [8, PIX]
     # g_o[p] = sum_c g_cp * O_cp, as a [PIX, 1] column (via MXU, no transpose).
@@ -183,14 +215,22 @@ def _bwd_kernel(starts_ref, nchunks_ref, offset_ref, records_ref, out_in_ref,
 
     def dma(slot, c):
         return pltpu.make_async_copy(
-            records_ref.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)],
+            records_ref.at[:, pl.ds(pl.multiple_of(base + c * CHUNK, CHUNK), CHUNK)],
             buf.at[slot],
             sems.at[slot],
+        )
+
+    def dgrad(slot, c):
+        return pltpu.make_async_copy(
+            d_records_ref.at[:, pl.ds(pl.multiple_of(base + c * CHUNK, CHUNK), CHUNK)],
+            dbuf.at[slot],
+            store_sem.at[slot],
         )
 
     @pl.when(nchunks > 0)
     def _():
         dma(0, 0).start()
+        dgrad(0, 0).start()
 
     def cond(state):
         c, log_t, _ = state
@@ -205,9 +245,11 @@ def _bwd_kernel(starts_ref, nchunks_ref, offset_ref, records_ref, out_in_ref,
             dma((c + 1) % 2, c + 1).start()
 
         dma(slot, c).wait()
+        dgrad(slot, c).wait()
         rec = buf[slot]
+        valid = _row_valid(base + c * CHUNK, start, count)
         (dx, dy, _, g, unclamped, alpha, lg, log_t_incl, contrib, w) = (
-            _chunk_blend(rec, px, py, log_t))
+            _chunk_blend(rec, px, py, log_t, valid))
         feat = rec[_FEAT0:_FEAT1, :]  # [8, CHUNK]
 
         # fg[p,k] = sum_c feat[c,k] * g[c,p]
@@ -228,6 +270,8 @@ def _bwd_kernel(starts_ref, nchunks_ref, offset_ref, records_ref, out_in_ref,
         cc = rec[_CC:_CC + 1, :]
 
         # Per-fragment grads: reduce over the pixel (sublane) axis -> [1, CHUNK].
+        # Rows outside `valid` have alpha==0 => every contribution is 0, so
+        # the read-modify-write below only changes rows this tile owns.
         d_op = jnp.sum(g * d_unclamped, axis=0, keepdims=True)
         d_mx = jnp.sum(d_sigma * -(ca * dx + cb * dy), axis=0, keepdims=True)
         d_my = jnp.sum(d_sigma * -(cc * dy + cb * dx), axis=0, keepdims=True)
@@ -237,21 +281,22 @@ def _bwd_kernel(starts_ref, nchunks_ref, offset_ref, records_ref, out_in_ref,
         # d_feat[c,k] = sum_p w[p,k] * g[c,p]
         d_feat = _mm(gtile, w, _CONTRACT_MID)  # [8, CHUNK]
 
-        dbuf[_MX:_MX + 1, :] = d_mx
-        dbuf[_MY:_MY + 1, :] = d_my
-        dbuf[_CA:_CA + 1, :] = d_ca
-        dbuf[_CB:_CB + 1, :] = d_cb
-        dbuf[_CC:_CC + 1, :] = d_cc
-        dbuf[_OP:_OP + 1, :] = d_op
-        dbuf[_FEAT0:_FEAT1, :] = d_feat
-        dbuf[_FEAT1:, :] = jnp.zeros((NUM_FIELDS - _FEAT1, CHUNK), jnp.float32)
+        contribution = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_feat,
+             jnp.zeros((NUM_FIELDS - _FEAT1, CHUNK), jnp.float32)], axis=0)
+        dbuf[slot] = dbuf[slot] + contribution
         store = pltpu.make_async_copy(
-            dbuf,
-            d_records_ref.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)],
-            store_sem
+            dbuf.at[slot],
+            d_records_ref.at[:, pl.ds(pl.multiple_of(base + c * CHUNK, CHUNK),
+                                      CHUNK)],
+            store_sem.at[slot],
         )
         store.start()
         store.wait()
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            dgrad((c + 1) % 2, c + 1).start()
 
         log_t = log_t + jnp.sum(lg, axis=1, keepdims=True)
         gp_carry = gp_carry + jnp.sum(u, axis=1, keepdims=True)
@@ -266,38 +311,35 @@ def _bwd_kernel(starts_ref, nchunks_ref, offset_ref, records_ref, out_in_ref,
     @pl.when(c_final < nchunks)
     def _():
         dma(c_final % 2, c_final).wait()
+        dgrad(c_final % 2, c_final).wait()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def rasterize_tiles_ranged(padded_records, tile_starts, tile_nchunks,
-                           grad_row_range, tile_id_offset, tiles_x: int):
-    """`rasterize_tiles` with an explicit [2] (lo, hi) gradient row range:
-    the backward pass zeroes d_records rows outside [lo, hi). Required when
-    the tile grid is sharded across devices — each device only composites
-    (and therefore only writes gradient rows for) its own slice of the
-    chunk-aligned fragment layout; rows of other devices' ranges are
-    uninitialized and must not leak into the scatter-add. `tile_id_offset`
-    ([1] int32) maps local grid index 0 to its global tile id."""
-    return _rasterize_fwd_impl(padded_records, tile_starts, tile_nchunks,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def rasterize_tiles_ranged(padded_records, tile_starts, tile_counts,
+                           tile_id_offset, tiles_x: int):
+    """`rasterize_tiles` taking a [1] global-tile-id offset — used by the
+    tile-sharded render path, which passes a slice of the range arrays."""
+    return _rasterize_fwd_impl(padded_records, tile_starts, tile_counts,
                                tile_id_offset, tiles_x)
 
 
-def rasterize_tiles(padded_records, tile_starts, tile_nchunks, tiles_x: int):
-    """Composite padded fragment records into per-tile channel planes.
+def rasterize_tiles(padded_records, tile_starts, tile_counts, tiles_x: int):
+    """Composite sorted fragment records into per-tile channel planes.
 
     Args:
-      padded_records: [16, P_pad] f32 field-major chunk-aligned sorted records.
-      tile_starts / tile_nchunks: [T] int32 (see binning.TileBinning).
+      padded_records: [16, P] f32 field-major depth-sorted records; P must be
+        a CHUNK multiple with >= CHUNK trailing dummy columns (zero opacity).
+      tile_starts / tile_counts: [T] int32 (see binning.TileBinning) —
+        UNALIGNED ranges into the sorted order.
       tiles_x: static tile-grid width.
     Returns: [T, 8, 256] f32 per-tile channel planes.
     """
-    full = jnp.array([0, padded_records.shape[1]], jnp.int32)
     return rasterize_tiles_ranged(
-        padded_records, tile_starts, tile_nchunks, full,
+        padded_records, tile_starts, tile_counts,
         jnp.zeros((1,), jnp.int32), tiles_x)
 
 
-def _rasterize_fwd_impl(padded_records, tile_starts, tile_nchunks,
+def _rasterize_fwd_impl(padded_records, tile_starts, tile_counts,
                         tile_id_offset, tiles_x):
     num_tiles = tile_starts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -318,26 +360,25 @@ def _rasterize_fwd_impl(padded_records, tile_starts, tile_nchunks,
         out_shape=jax.ShapeDtypeStruct((num_tiles, NUM_CHANNELS, PIX), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(tile_starts, tile_nchunks, tile_id_offset, padded_records)
+    )(tile_starts, tile_counts, tile_id_offset, padded_records)
 
 
-def _rasterize_fwd(padded_records, tile_starts, tile_nchunks,
-                   grad_row_range, tile_id_offset, tiles_x):
-    out = _rasterize_fwd_impl(padded_records, tile_starts, tile_nchunks,
+def _rasterize_fwd(padded_records, tile_starts, tile_counts,
+                   tile_id_offset, tiles_x):
+    out = _rasterize_fwd_impl(padded_records, tile_starts, tile_counts,
                               tile_id_offset, tiles_x)
-    return out, (padded_records, tile_starts, tile_nchunks, grad_row_range,
-                 tile_id_offset, out)
+    return out, (padded_records, tile_starts, tile_counts, tile_id_offset, out)
 
 
 def _rasterize_bwd(tiles_x, residuals, gout):
-    (padded_records, tile_starts, tile_nchunks, grad_row_range,
-     tile_id_offset, out) = residuals
+    padded_records, tile_starts, tile_counts, tile_id_offset, out = residuals
     num_tiles = tile_starts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # pre-zeroed grad buffer
             pl.BlockSpec((1, NUM_CHANNELS, PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NUM_CHANNELS, PIX), lambda t, *_: (t, 0, 0),
@@ -346,26 +387,25 @@ def _rasterize_bwd(tiles_x, residuals, gout):
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    d_zero = jnp.zeros_like(padded_records)
     d_records = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x),
         out_shape=jax.ShapeDtypeStruct(padded_records.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_starts, tile_nchunks, tile_id_offset, padded_records, out, gout)
-    col = jax.lax.broadcasted_iota(jnp.int32, d_records.shape, 1)
-    keep = (col >= grad_row_range[0]) & (col < grad_row_range[1])
-    d_records = jnp.where(keep, d_records, 0.0)
+        input_output_aliases={4: 0},  # d_zero (4th tensor arg) -> output
+    )(tile_starts, tile_counts, tile_id_offset, padded_records, d_zero,
+      out, gout)
     return (
         d_records,
         np.zeros(tile_starts.shape, dtype=jax.dtypes.float0),
-        np.zeros(tile_nchunks.shape, dtype=jax.dtypes.float0),
-        np.zeros(grad_row_range.shape, dtype=jax.dtypes.float0),
+        np.zeros(tile_counts.shape, dtype=jax.dtypes.float0),
         np.zeros(tile_id_offset.shape, dtype=jax.dtypes.float0),
     )
 

@@ -47,15 +47,17 @@ class RoDyGSTrainer:
         self.log_freq = log_freq
         self.logdir = Path(logdir) if logdir is not None else None
         if not self.skip_dynamic:
+            self.dyn_fragment_profile = "lean"
             self._dyn_step = functools.partial(
-                jax.jit, static_argnames=("active", "sh_degree", "use_deform")
+                jax.jit, static_argnames=("active", "sh_degree", "use_deform",
+                                          "fragment_profile")
             )(self._dyn_step_impl)
 
     # --- dynamic step (renders concat static+dynamic, trains dynamic) ------
 
     def _dyn_step_impl(self, dyn_state, static_store, poses, batch: FrameBatch,
                        rng, iteration, active, sh_degree: int,
-                       use_deform: bool):
+                       use_deform: bool, fragment_profile: str = "lean"):
         dyn = self.dynamic
         cfg = dyn.cfg
         sp = jax.lax.stop_gradient(static_store.params)
@@ -97,6 +99,7 @@ class RoDyGSTrainer:
                 sh_degree, cfg.image_width, cfg.image_height,
                 alive=alive, means2d_offset=offset,
                 max_fragments=cfg.max_fragments,
+                fragment_profile=fragment_profile,
             )
             ctx = {
                 "pred_img": out["rendered_image"],
@@ -188,8 +191,12 @@ class RoDyGSTrainer:
                 self.static.state.poses, dynamic_batch, k_dyn,
                 jnp.asarray(iteration, jnp.float32),
                 active=active_d, sh_degree=self.dynamic.active_sh_degree,
-                use_deform=use_deform)
+                use_deform=use_deform,
+                fragment_profile=self.dyn_fragment_profile)
             metrics["dynamic"] = m_dyn
+            if (self.dyn_fragment_profile == "lean"
+                    and bool(m_dyn["overflow"])):
+                self.dyn_fragment_profile = "wide"
             info = self.dynamic.maybe_densify(
                 iteration, jax.random.fold_in(k_dens, 1))
             if info is not None:

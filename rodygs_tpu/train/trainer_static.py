@@ -140,15 +140,20 @@ class ThreeDGSTrainer:
         self.spatial_lr_scale = float(spatial_lr_scale)
         self.state = init_static_state(store, poses)
         self.active_sh_degree = 0
+        # fragment capacity preset; escalates to "wide" (one re-jit) when a
+        # step reports binning overflow (see render/binning.FRAGMENT_PROFILES)
+        self.fragment_profile = "lean"
         self._step_fn = functools.partial(
-            jax.jit, static_argnames=("active", "sh_degree"))(self._step_impl)
+            jax.jit, static_argnames=("active", "sh_degree",
+                                      "fragment_profile"))(self._step_impl)
         self._densify_fn = jax.jit(self._densify_impl,
                                    static_argnames=("max_screen_size",))
 
     # --- jitted bodies ----------------------------------------------------
 
     def _render_ctx(self, params: G.GaussianParams, alive, poses, offset,
-                    batch: FrameBatch, sh_degree: int):
+                    batch: FrameBatch, sh_degree: int,
+                    fragment_profile: str = "lean"):
         cfg = self.cfg
         camera = make_camera_from_poses(poses, batch)
         xyz = params.xyz
@@ -160,16 +165,19 @@ class ThreeDGSTrainer:
             sh_degree, cfg.image_width, cfg.image_height,
             alive=alive, means2d_offset=offset,
             max_fragments=cfg.max_fragments,
+            fragment_profile=fragment_profile,
         )
         return out, camera
 
     def _step_impl(self, state: StaticTrainState, batch: FrameBatch,
-                   rng, iteration, active, sh_degree: int):
+                   rng, iteration, active, sh_degree: int,
+                   fragment_profile: str = "lean"):
         cfg = self.cfg
 
         def loss_fn(params, poses, offset):
             out, _ = self._render_ctx(params, state.store.alive, poses,
-                                      offset, batch, sh_degree)
+                                      offset, batch, sh_degree,
+                                      fragment_profile)
             ctx = {
                 "pred_img": out["rendered_image"],
                 "gt_img": batch.gt_image,
@@ -255,7 +263,10 @@ class ThreeDGSTrainer:
         active = self.loss.active_set(iteration)
         self.state, metrics = self._step_fn(
             self.state, batch, rng, jnp.asarray(iteration, jnp.float32),
-            active=active, sh_degree=self.active_sh_degree)
+            active=active, sh_degree=self.active_sh_degree,
+            fragment_profile=self.fragment_profile)
+        if self.fragment_profile == "lean" and bool(metrics["overflow"]):
+            self.fragment_profile = "wide"
 
         cfg = self.cfg
         info = None

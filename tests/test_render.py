@@ -156,12 +156,11 @@ class TestBinning:
         n = 80
         real = gid[gid < n]
         assert len(real) == int(b.num_fragments)
-        # padded ranges are chunk-aligned and within bounds
+        # ranges are within the (chunk-rounded) sorted array
         starts = np.asarray(b.tile_starts)
-        nchunks = np.asarray(b.tile_nchunks)
-        assert (starts % 128 == 0).all()
-        ends = starts + nchunks * 128
-        assert (ends <= len(gid)).all()
+        counts = np.asarray(b.tile_counts)
+        assert (starts + counts <= len(gid)).all()
+        assert len(gid) % 128 == 0
 
     def test_depth_order_within_tiles(self):
         means, scales, quats, opac, shs, cam = make_scene(n=80)
@@ -172,10 +171,10 @@ class TestBinning:
         gid = np.asarray(b.padded_gid)
         depth = np.asarray(splats.depth)
         starts = np.asarray(b.tile_starts)
-        nchunks = np.asarray(b.tile_nchunks)
+        counts = np.asarray(b.tile_counts)
         for t in range(len(starts)):
-            seg = gid[starts[t]:starts[t] + nchunks[t] * 128]
-            seg = seg[seg < 80]
+            seg = gid[starts[t]:starts[t] + counts[t]]
+            assert (seg < 80).all()  # real fragments only inside ranges
             if len(seg) > 1:
                 d = depth[seg]
                 assert (np.diff(d) >= -1e-6).all()
