@@ -41,11 +41,14 @@ class FixedCameraSpec:
 
 def _load_image_composite_black(path: str) -> np.ndarray:
     """RGBA -> RGB over black, [H, W, 3] float32 in [0,1]
-    (`datamodule.py:377-399` semantics, channels-last)."""
+    (`datamodule.py:377-399` semantics, channels-last). The fused composite
+    runs in the native OpenMP layer when available (utils/native.py)."""
+    from ..utils.native import composite_rgba_to_rgb, u8_rgb_to_f32
+
     im = Image.open(path)
-    data = np.asarray(im.convert("RGBA"), dtype=np.float32) / 255.0
-    rgb = data[..., :3] * data[..., 3:4]
-    return np.clip(rgb, 0.0, 1.0)
+    if im.mode == "RGB":
+        return u8_rgb_to_f32(np.asarray(im))
+    return composite_rgba_to_rgb(np.asarray(im.convert("RGBA")))
 
 
 def _matrix_to_quat_np(m: np.ndarray) -> np.ndarray:

@@ -58,10 +58,11 @@ class DepthAnythingReader:
         pass
 
     def __call__(self, dirpath, basename):
+        from ..utils.native import negate_minmax_normalize
+
         base = os.path.splitext(basename)[0] + ".npy"
-        depth = -np.load(Path(dirpath, self.prefix, base))
-        depth = (depth - depth.min()) / (depth.max() - depth.min())
-        return depth.astype(np.float32)
+        raw = np.load(Path(dirpath, self.prefix, base))
+        return negate_minmax_normalize(raw.astype(np.float32))
 
 
 class TAMMaskReader:

@@ -24,12 +24,12 @@ class RGBStorer:
         self.path.mkdir(parents=True, exist_ok=True)
 
     def __call__(self, image_name: str, image: np.ndarray) -> None:
+        from .native import f32_rgb_to_u16_bgr
+
         image = np.asarray(image)
         if image.ndim != 3 or image.shape[2] != 3:
             raise ValueError(f"expected [H,W,3], got {image.shape}")
-        arr = np.clip(image, 0.0, 1.0)[..., ::-1]  # RGB -> BGR
-        cv2.imwrite(str(self.path / image_name),
-                    (arr * 65535.0).astype(np.uint16))
+        cv2.imwrite(str(self.path / image_name), f32_rgb_to_u16_bgr(image))
 
 
 class AssetStorer:

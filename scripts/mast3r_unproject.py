@@ -42,6 +42,16 @@ def resize_to_mast3r(arr: np.ndarray, img_w: int, img_h: int) -> np.ndarray:
 def unproject_depth(focal, c2w, image, depth, mask=None):
     """Pixel grid + depth -> world points (reference `unproject_depth`,
     `pcd_utils.py:93-120`). image [H,W,3] uint8, depth [H,W]."""
+    from rodygs_tpu.utils.native import unproject_depth_native
+
+    native = unproject_depth_native(np.asarray(depth, np.float32),
+                                    np.asarray(c2w, np.float32), float(focal))
+    if native is not None:
+        colors = image.reshape(-1, 3)
+        if mask is not None:
+            m = mask.ravel()
+            return native[m], colors[m]
+        return native, colors
     h, w = depth.shape
     xs, ys = np.meshgrid(np.arange(w), np.arange(h))
     pix = np.stack([xs.ravel(), ys.ravel(), np.ones(h * w)], axis=0)  # [3,HW]

@@ -143,3 +143,51 @@ class TestConverters:
             np.testing.assert_allclose(m[:3, :3] @ m[:3, :3].T, np.eye(3),
                                        atol=1e-5)
             np.testing.assert_allclose(m[3], [0, 0, 0, 1], atol=1e-12)
+
+
+class TestNativeOps:
+    """Native layer vs numpy fallback equivalence (utils/native.py)."""
+
+    def test_composite_matches_numpy(self):
+        from rodygs_tpu.utils import native
+
+        rng = np.random.default_rng(0)
+        rgba = rng.integers(0, 256, size=(33, 47, 4), dtype=np.uint8)
+        got = native.composite_rgba_to_rgb(rgba)
+        data = rgba.astype(np.float32) / 255.0
+        expect = np.clip(data[..., :3] * data[..., 3:4], 0, 1)
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+    def test_depth_normalize_matches(self):
+        from rodygs_tpu.utils import native
+
+        d = np.random.default_rng(1).uniform(0.5, 9.0, size=(40, 50)).astype(np.float32)
+        got = native.negate_minmax_normalize(d)
+        nd = -d
+        expect = (nd - nd.min()) / (nd.max() - nd.min())
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+    def test_png_pack_matches(self):
+        from rodygs_tpu.utils import native
+
+        img = np.random.default_rng(2).uniform(-0.1, 1.1, size=(16, 20, 3)).astype(np.float32)
+        got = native.f32_rgb_to_u16_bgr(img)
+        expect = (np.clip(img, 0, 1)[..., ::-1] * 65535.0).astype(np.uint16)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_native_unproject_matches_python(self):
+        from rodygs_tpu.utils import native
+
+        if native.get_lib() is None:
+            pytest.skip("no native toolchain")
+        h, w, focal = 12, 18, 25.0
+        rng = np.random.default_rng(3)
+        depth = rng.uniform(0.5, 3.0, size=(h, w)).astype(np.float32)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = [0.3, -0.2, 0.1]
+        got = native.unproject_depth_native(depth, c2w, focal)
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        pix = np.stack([xs.ravel(), ys.ravel(), np.ones(h * w)], axis=0)
+        k_inv = np.linalg.inv(np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]]))
+        pts = (c2w[:3, :3] @ (k_inv @ pix * depth.reshape(1, -1)) + c2w[:3, 3:4]).T
+        np.testing.assert_allclose(got, pts, atol=1e-4)
