@@ -42,6 +42,10 @@ import jax.numpy as jnp
 
 TILE = 16          # pixels per tile side (matches the reference's 16x16 blocks)
 CHUNK = 128        # fragments processed per kernel inner step
+# Invalid fragments get round-robin dummy gaussian ids n..n+DUMMY_COLS-1
+# instead of a single id: the records-gather's autodiff transpose is a
+# scatter-add, and millions of identical dummy indices serialize it.
+DUMMY_COLS = 2048
 
 # Tier span budgets (tiles) and slot fractions. Tier 1 covers every
 # Gaussian up to a 4x4-tile footprint (~24 px radius); tier 2 gives N/frac
@@ -182,8 +186,10 @@ def bin_splats(
     # sorted ids to a CHUNK multiple plus one spill chunk of dummies so every
     # aligned chunk DMA stays in bounds.
     p_round = -(-p_total // CHUNK) * CHUNK + CHUNK
-    padded_gid = jnp.full((p_round,), n, jnp.int32)
-    padded_gid = padded_gid.at[:p_total].set(s_gid)
+    spread = n + (jnp.arange(p_round, dtype=jnp.int32) % DUMMY_COLS)
+    padded_gid = spread
+    padded_gid = padded_gid.at[:p_total].set(
+        jnp.where(s_gid >= n, spread[:p_total], s_gid))
 
     return TileBinning(
         padded_gid=padded_gid,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .binning import CHUNK, TILE, bin_splats, tile_grid
+from .binning import CHUNK, DUMMY_COLS, TILE, bin_splats, tile_grid
 from .camera import Camera
 from .preprocess import Splats2D, preprocess
 from .tile_kernel import NUM_CHANNELS, PIX, rasterize_tiles, tiles_to_image
@@ -43,9 +43,10 @@ def default_fragment_budget(image_width: int, image_height: int, n: int) -> int:
 
 
 def _pack_records(splats: Splats2D) -> jnp.ndarray:
-    """Field-major [16, N+1] record matrix; trailing all-zero dummy column
-    (id N) absorbs padded fragment slots. Splats2D is already transposed —
-    this is pure concatenation, no layout changes."""
+    """Field-major [16, N+DUMMY_COLS] record matrix; trailing all-zero dummy
+    columns absorb padded fragment slots (spread over many columns so the
+    gradient scatter-add does not serialize on one index). Splats2D is
+    already transposed — this is pure concatenation, no layout changes."""
     n = splats.mean2d.shape[1]
     rec = jnp.concatenate(
         [
@@ -60,7 +61,8 @@ def _pack_records(splats: Splats2D) -> jnp.ndarray:
         ],
         axis=0,
     )
-    return jnp.concatenate([rec, jnp.zeros((16, 1), jnp.float32)], axis=1)
+    return jnp.concatenate(
+        [rec, jnp.zeros((16, DUMMY_COLS), jnp.float32)], axis=1)
 
 
 
