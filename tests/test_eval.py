@@ -1,0 +1,151 @@
+"""Eval-suite tests: image metrics sanity/cross-checks, pose trajectory
+metrics against synthetic Sim(3) ground truth, test-time pose optimizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rodygs_tpu.evalsuite.metrics import VizScoreEvaluator, ms_ssim, ssim_eval
+from rodygs_tpu.evalsuite.pose_metrics import (
+    PoseEvaluator, align_trajectory_sim3, compute_ate, compute_rpe,
+    umeyama_sim3)
+from rodygs_tpu.evalsuite.pose_opt import PoseOptimizer, search_nearest_two
+from rodygs_tpu.ops.quaternion import quat_to_matrix
+
+
+def random_traj(n=20, seed=0):
+    rng = np.random.default_rng(seed)
+    poses = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+    t = np.cumsum(rng.normal(0, 0.3, size=(n, 3)), axis=0)
+    for i in range(n):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        poses[i, :3, :3] = np.asarray(quat_to_matrix(jnp.asarray(q)))
+        poses[i, :3, 3] = t[i]
+    return poses
+
+
+class TestImageMetrics:
+    def test_msssim_identical(self):
+        img = jnp.asarray(np.random.default_rng(0).uniform(size=(192, 256, 3)),
+                          jnp.float32)
+        assert float(ms_ssim(img, img)) > 0.999
+
+    def test_msssim_ordering(self):
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.uniform(size=(192, 256, 3)), jnp.float32)
+        small_noise = img + jnp.asarray(rng.normal(0, 0.02, img.shape), jnp.float32)
+        big_noise = img + jnp.asarray(rng.normal(0, 0.2, img.shape), jnp.float32)
+        a = float(ms_ssim(img, jnp.clip(small_noise, 0, 1)))
+        b = float(ms_ssim(img, jnp.clip(big_noise, 0, 1)))
+        assert a > b
+
+    def test_viz_evaluator_full(self):
+        rng = np.random.default_rng(2)
+        gt = rng.uniform(size=(192, 256, 3)).astype(np.float32)
+        pred = np.clip(gt + rng.normal(0, 0.05, gt.shape), 0, 1).astype(np.float32)
+        scores = VizScoreEvaluator().get_score(gt, pred)
+        assert set(scores) == {"psnr", "ssim", "msssim", "dssim",
+                               "lpipsa", "lpipsv"}
+        assert 20 < scores["psnr"] < 35
+        assert 0 < scores["ssim"] < 1
+        np.testing.assert_allclose(scores["dssim"],
+                                   (1 - scores["msssim"]) / 2, atol=1e-6)
+        # no LPIPS weights in this environment -> NaN by contract
+        assert np.isnan(scores["lpipsa"])
+
+    def test_eval_ssim_matches_train_ssim_interior(self):
+        # VALID-window eval SSIM and SAME-window train SSIM agree on large
+        # smooth images (border handling differs).
+        from rodygs_tpu.ops.image import ssim as train_ssim
+
+        rng = np.random.default_rng(3)
+        img = rng.uniform(size=(128, 128, 3)).astype(np.float32)
+        img2 = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1).astype(np.float32)
+        a = float(ssim_eval(jnp.asarray(img), jnp.asarray(img2)))
+        b = float(train_ssim(jnp.asarray(img), jnp.asarray(img2)))
+        assert abs(a - b) < 0.05
+
+
+class TestPoseMetrics:
+    def test_umeyama_recovers_sim3(self):
+        rng = np.random.default_rng(4)
+        pts = rng.normal(size=(30, 3))
+        q = rng.normal(size=4); q /= np.linalg.norm(q)
+        R = np.asarray(quat_to_matrix(jnp.asarray(q)), np.float64)
+        s, t = 1.7, np.array([0.3, -1.0, 2.0])
+        model = s * pts @ R.T + t
+        s2, R2, t2 = umeyama_sim3(model, pts)
+        np.testing.assert_allclose(s2, s, rtol=1e-6)
+        np.testing.assert_allclose(R2, R, atol=1e-8)
+        np.testing.assert_allclose(t2, t, atol=1e-8)
+
+    def test_ate_zero_after_alignment_of_sim3_transformed(self):
+        gt = random_traj()
+        # estimated = Sim(3)-transformed gt
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=4); q /= np.linalg.norm(q)
+        R = np.asarray(quat_to_matrix(jnp.asarray(q)), np.float64)
+        s = 2.3
+        est = gt.copy()
+        est[:, :3, 3] = s * gt[:, :3, 3] @ R.T + np.array([1.0, 2.0, 3.0])
+        est[:, :3, :3] = np.einsum("ij,njk->nik", R, gt[:, :3, :3])
+        aligned = align_trajectory_sim3(est, gt)
+        assert compute_ate(gt, aligned) < 1e-6
+        rpe_t, rpe_r = compute_rpe(gt, aligned)
+        assert rpe_t < 1e-5 and rpe_r < 1e-3  # f32 rotation compose noise
+
+    def test_pose_evaluator_scores_noise(self):
+        gt = random_traj()
+        rng = np.random.default_rng(6)
+        est = gt.copy()
+        est[:, :3, 3] += rng.normal(0, 0.05, size=(len(gt), 3))
+        out = PoseEvaluator().get_score(gt, est)
+        assert 0 < out["ATE"] < 1.0
+        assert out["RPE_trans"] > 0
+        assert out["RPE_rot"] >= 0
+
+    def test_perfect_poses_zero_error(self):
+        gt = random_traj()
+        out = PoseEvaluator().get_score(gt, gt.copy())
+        assert out["ATE"] < 1e-6
+        assert out["RPE_trans"] < 1e-4
+        assert out["RPE_rot"] < 1e-3
+
+
+class TestPoseOpt:
+    def test_search_nearest_two(self):
+        db = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+        db[:, :3, 3] = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0],
+                                 [3, 0, 0], [10, 0, 0]])
+        q = np.eye(4, dtype=np.float32)
+        q[:3, 3] = [2.2, 0, 0]
+        idx = search_nearest_two(q, db)
+        assert set(idx.tolist()) == {2, 3}
+
+    def test_pose_opt_reduces_photometric_error(self):
+        # A toy differentiable "renderer": the image is a smooth function of
+        # the camera translation; pose opt should recover the target pose.
+        from rodygs_tpu.render.camera import make_camera
+
+        H, W = 8, 8
+        yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                              jnp.arange(W, dtype=jnp.float32), indexing="ij")
+
+        def render_fn(cam):
+            base = (xx / W + cam.t_c2w[0])[:, :, None]
+            return jnp.repeat(base, 3, axis=2) + cam.t_c2w[1]
+
+        target_cam = make_camera([1, 0, 0, 0], [0.15, -0.05, 0.0], 0.9, 0.9)
+        gt_img = render_fn(target_cam)
+
+        calib = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+        calib[0, :3, 3] = [0.0, 0.0, 0.0]
+        opt = PoseOptimizer(calib, calib, render_fn, camera_lr=5e-3,
+                            num_opts=400)
+        cam0 = make_camera([1, 0, 0, 0], [0, 0, 0], 0.9, 0.9)
+        out_cam = opt(cam0, np.eye(4, dtype=np.float32), gt_img)
+        err0 = float(jnp.mean((render_fn(cam0) - gt_img) ** 2))
+        err1 = float(jnp.mean((render_fn(out_cam) - gt_img) ** 2))
+        assert err1 < 0.05 * err0
