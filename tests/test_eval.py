@@ -111,7 +111,7 @@ class TestPoseMetrics:
         out = PoseEvaluator().get_score(gt, gt.copy())
         assert out["ATE"] < 1e-6
         assert out["RPE_trans"] < 1e-4
-        assert out["RPE_rot"] < 1e-3
+        assert out["RPE_rot"] < 1e-2  # degrees; f32 compose noise
 
 
 class TestPoseOpt:
