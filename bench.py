@@ -48,6 +48,11 @@ def main():
     pts = rng.uniform([-2.0, -2.0, 2.5], [2.0, 2.0, 7.0], size=(N, 3)).astype(np.float32)
     cols = rng.uniform(0.1, 0.9, size=(N, 3)).astype(np.float32)
     store = G.from_point_cloud(pts, cols, sh_degree=3, capacity=131072)
+    # Trained-scene-representative footprints (the KNN init prior on a random
+    # 100k cloud yields blob sizes far above what converged scenes carry).
+    scales = np.exp(rng.uniform(-4.0, -2.6, size=(131072, 3))).astype(np.float32)
+    store = store._replace(params=store.params._replace(
+        scaling=jnp.asarray(np.log(scales))))
 
     f = 8
     qs, ts = [], []

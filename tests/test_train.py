@@ -317,3 +317,58 @@ class TestMultiLoss:
         assert ml.terms[0].fn_name == "SSIMLoss"
         assert ml.terms[1].freq == 5
         assert dict(ml.terms[1].params)["K"] == 8
+
+
+class TestRigidityFormulas:
+    """Cross-check the rigidity loss modes against direct numpy
+    implementations of the reference formulas (losses.py:185-360)."""
+
+    def _ctx(self, n=64, b=4, seed=0):
+        rng = np.random.default_rng(seed)
+        xyz = rng.normal(size=(n, 3)).astype(np.float32)
+        transl = rng.normal(0, 0.01, size=(n, 3)).astype(np.float32)
+        coeff = rng.normal(0, 0.1, size=(n, 1, b)).astype(np.float32)
+        fdc = rng.uniform(size=(n, 1, 3)).astype(np.float32)
+        table = rng.normal(0, 0.01, size=(6, b, 7)).astype(np.float32)
+        return {
+            "canon_xyz": jnp.asarray(xyz),
+            "pred_translation": jnp.asarray(transl),
+            "motion_coeff": jnp.asarray(coeff),
+            "features_dc": jnp.asarray(fdc),
+            "alive": jnp.ones(n, bool),
+            "motion_table": jnp.asarray(table),
+            "rng": jax.random.key(0),
+        }
+
+    def test_surface_mode_matches_numpy(self):
+        from rodygs_tpu.train.losses import rigidity
+
+        ctx = self._ctx()
+        # scale=1 => all points sampled; K=4 neighbors
+        val = float(rigidity(ctx, scale=1.0, K=4, mode=("surface",)))
+        pts = np.asarray(ctx["canon_xyz"]) + np.asarray(ctx["pred_translation"])
+        d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+        nn = np.argsort(d2, axis=1)[:, :4]  # includes self
+        mean_nn = pts[nn].mean(axis=1)
+        expect = np.linalg.norm(pts - mean_nn, axis=1).mean()
+        np.testing.assert_allclose(val, expect, rtol=1e-3)
+
+    def test_coeff_mode_matches_numpy(self):
+        from rodygs_tpu.train.losses import rigidity
+
+        ctx = self._ctx(seed=1)
+        lam = 0.1
+        val = float(rigidity(ctx, scale=1.0, K=4, mode=("coeff",),
+                             dist_weight_lambda=lam, color_sim=True))
+        pts = np.asarray(ctx["canon_xyz"]) + np.asarray(ctx["pred_translation"])
+        coeff = np.asarray(ctx["motion_coeff"])[:, 0]
+        cols = np.asarray(ctx["features_dc"])[:, 0]
+        d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+        nn = np.argsort(d2, axis=1)[:, :4]
+        nnd = np.take_along_axis(d2, nn, axis=1)  # squared dists
+        color_d2 = ((cols[:, None] - cols[nn]) ** 2).sum(-1)
+        sim = np.linalg.norm(coeff[:, None] - coeff[nn], axis=-1)
+        dist_w = np.exp(-lam * nnd**2)
+        color_w = np.exp(-lam * color_d2)
+        expect = (color_w * dist_w * sim).mean()
+        np.testing.assert_allclose(val, expect, rtol=5e-3, atol=1e-5)
