@@ -66,8 +66,18 @@ def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
-    """5-scale MS-SSIM (Wang et al. 2003), piqa-compatible weights."""
-    levels = len(_MSSSIM_WEIGHTS)
+    """MS-SSIM (Wang et al. 2003), piqa-compatible 5-scale weights.
+
+    The scale count adapts to the image: each level needs the 11-tap window
+    to fit after the 2x downsamplings (the fixed-5-scale form is NaN below
+    176 px; small validation crops are legitimate inputs here). Weights are
+    renormalized over the retained scales."""
+    min_dim = min(img1.shape[0], img1.shape[1])
+    levels = 1
+    while levels < len(_MSSSIM_WEIGHTS) and (min_dim >> levels) >= 11:
+        levels += 1
+    weights = np.asarray(_MSSSIM_WEIGHTS[:levels])
+    weights = weights / weights.sum()
     mcs = []
     val = None
     for i in range(levels):
@@ -78,8 +88,8 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
             mcs.append(jnp.maximum(cs, 0.0))
             img1 = _downsample2(img1)
             img2 = _downsample2(img2)
-    out = val ** _MSSSIM_WEIGHTS[-1]
-    for w, cs in zip(_MSSSIM_WEIGHTS[:-1], mcs):
+    out = val ** weights[-1]
+    for w, cs in zip(weights[:-1], mcs):
         out = out * cs**w
     return out
 

@@ -149,3 +149,16 @@ class TestPoseOpt:
         err0 = float(jnp.mean((render_fn(cam0) - gt_img) ** 2))
         err1 = float(jnp.mean((render_fn(out_cam) - gt_img) ** 2))
         assert err1 < 0.05 * err0
+
+
+class TestMsSsimSmallImages:
+    def test_small_image_no_nan(self):
+        img = jnp.asarray(np.random.default_rng(7).uniform(size=(48, 64, 3)),
+                          jnp.float32)
+        v = float(ms_ssim(img, img))
+        assert np.isfinite(v) and v > 0.99
+
+    def test_tiny_image_no_nan(self):
+        img = jnp.asarray(np.random.default_rng(8).uniform(size=(16, 16, 3)),
+                          jnp.float32)
+        assert np.isfinite(float(ms_ssim(img, img)))
