@@ -120,13 +120,16 @@ def render(
         tiles_x, tiles_y, max_fragments, profile=fragment_profile,
     )
 
-    records = _pack_records(splats)  # [16, N+1]
+    records = _pack_records(splats)  # [16, N+D]
     # NOTE on the gather's autodiff transpose (a scatter-add over ~P
-    # duplicate indices): measured ~65ms at P=4.7M on v5e. Alternatives that
-    # permute P-sized data (inverse-permutation + structural reshape-sums)
-    # measured WORSE (any P-scale gather/scatter costs 20-70ms). The lever
-    # that works is shrinking P via the tier budget (binning.TIERS).
-    padded = jnp.take(records, binning.padded_gid, axis=1)  # differentiable
+    # duplicate indices): measured ~47-115ms depending on capacity on v5e.
+    # Alternatives that permute P-sized data (inverse-permutation +
+    # structural reshape-sums) measured WORSE (any P-scale gather/scatter
+    # costs 20-70ms). The lever that works is shrinking capacity
+    # (binning.FRAGMENT_PROFILES). (A split gather intended to let XLA DCE
+    # the zero-cotangent normal rows' scatter measured worse — the aux
+    # gather + concat cost more than the saved scatter rows.)
+    padded = jnp.take(records, binning.padded_gid, axis=1)
 
     if tile_axis is None:
         tile_out = rasterize_tiles(
