@@ -194,7 +194,7 @@ class RoDyGSTrainer:
                 use_deform=use_deform,
                 fragment_profile=self.dyn_fragment_profile)
             metrics["dynamic"] = m_dyn
-            if (self.dyn_fragment_profile == "lean"
+            if (self.dyn_fragment_profile == "lean" and iteration % 25 == 0
                     and bool(m_dyn["overflow"])):
                 self.dyn_fragment_profile = "wide"
             info = self.dynamic.maybe_densify(

@@ -265,7 +265,10 @@ class ThreeDGSTrainer:
             self.state, batch, rng, jnp.asarray(iteration, jnp.float32),
             active=active, sh_degree=self.active_sh_degree,
             fragment_profile=self.fragment_profile)
-        if self.fragment_profile == "lean" and bool(metrics["overflow"]):
+        # Overflow escalation check only every 25 iters: pulling the flag to
+        # the host forces a device sync that breaks async dispatch (~30ms).
+        if (self.fragment_profile == "lean" and iteration % 25 == 0
+                and bool(metrics["overflow"])):
             self.fragment_profile = "wide"
 
         cfg = self.cfg
