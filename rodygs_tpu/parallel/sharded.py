@@ -134,3 +134,133 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
 
     return functools.partial(
         jax.jit, static_argnames=("active", "sh_degree"))(step)
+
+
+def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
+    """Multi-device DYNAMIC-stage step: each data-row device renders a
+    different frame of the concatenated static+deformed-dynamic scene;
+    dynamic-model gradients (Gaussians, motion coefficients, basis MLP)
+    all-reduce over the mesh. Together with `make_sharded_static_step` this
+    shards the full joint RoDyGS iteration (BASELINE.json configs[4]).
+
+    `dyn_trainer`: a train.trainer_dynamic.DynTrainer (provides deformation,
+    motion table, LR tree). Returns step(dyn_state, static_store, poses,
+    batch[B-sharded], rng, iteration, active, sh_degree, use_deform).
+    """
+    import jax.numpy as jnp
+
+    from ..models import gaussians as G
+    from ..train.densify import init_stats
+    from ..train.trainer_dynamic import DynParams
+
+    n_tile = mesh.shape["tile"]
+    tile_axis = "tile" if n_tile > 1 else None
+
+    def step(dyn_state, static_store, poses, batch, rng, iteration,
+             active, sh_degree: int, use_deform: bool):
+        sp = jax.lax.stop_gradient(static_store.params)
+        s_alive = static_store.alive
+        cs = sp.xyz.shape[0]
+        cd = dyn_state.store.params.xyz.shape[0]
+        poses_sg = jax.lax.stop_gradient(poses)
+
+        def device_fn(params, d_alive, time_ind, batch, rng):
+            b = jax.tree.map(lambda x: x[0], batch)
+
+            def local_loss(params: DynParams, offset):
+                gp = params.gauss
+                if use_deform:
+                    transl, rot_delta = dyn_trainer.deformation(
+                        params, b.time, time_ind)
+                else:
+                    transl = jnp.zeros_like(gp.xyz)
+                    rot_delta = jnp.zeros((cd, 4), jnp.float32)
+                xyz = jnp.concatenate([sp.xyz, gp.xyz + transl])
+                opacity = jnp.concatenate(
+                    [G.get_opacity(sp), G.get_opacity(gp)])
+                scaling = jnp.concatenate(
+                    [G.get_scaling(sp, cfg.isotropic),
+                     G.get_scaling(gp, cfg.isotropic)])
+                dyn_rot = (G.get_rotation(gp) if cfg.isotropic
+                           else G.get_rotation(gp) + rot_delta)
+                rotation = jnp.concatenate([G.get_rotation(sp), dyn_rot])
+                features = jnp.concatenate(
+                    [G.get_features(sp), G.get_features(gp)])
+                alive = jnp.concatenate([s_alive, d_alive])
+                camera = make_camera_from_poses(poses_sg, b)
+                out = render(
+                    xyz, features, opacity, scaling, rotation, camera,
+                    sh_degree, cfg.image_width, cfg.image_height,
+                    alive=alive, means2d_offset=offset,
+                    max_fragments=cfg.max_fragments, tile_axis=tile_axis)
+                ctx = {
+                    "pred_img": out["rendered_image"],
+                    "gt_img": b.gt_image,
+                    "pred_depth": out["rendered_depth"],
+                    "gt_depth": b.gt_depth,
+                    "motion_mask": b.motion_mask,
+                    "rng": rng,
+                    "motion_coeff": params.motion_coeff,
+                    "canon_xyz": gp.xyz,
+                    "features_dc": gp.features_dc,
+                    "pred_translation": transl,
+                    "alive": d_alive,
+                    "motion_table": dyn_trainer.motion_table(params),
+                }
+                total, _ = loss(ctx, active)
+                return total, (out["radii"][cs:], out["visibility_filter"][cs:])
+
+            offset0 = jnp.zeros((2, cs + cd), jnp.float32)
+            (total, (radii, visible)), (g_params, g_offset) = (
+                jax.value_and_grad(local_loss, argnums=(0, 1), has_aux=True)(
+                    params, offset0))
+            if tile_axis is not None:
+                g_params, g_offset = jax.lax.psum((g_params, g_offset), tile_axis)
+                total = jax.lax.pmean(total, tile_axis)
+            # per-frame stat deltas (reference semantics: every frame's
+            # screen-grad norm accumulates), summed across the data axis
+            zero_stats = init_stats(cd)
+            frame_stats = accumulate_stats(
+                zero_stats, g_offset[:, cs:], radii.astype(jnp.float32),
+                visible)
+            stat_delta = jax.lax.psum(frame_stats, "data")
+            if tile_axis is not None:
+                stat_delta = jax.tree.map(
+                    lambda x: x / n_tile, jax.lax.psum(stat_delta, tile_axis))
+            g_params = jax.lax.pmean(g_params, "data")
+            total = jax.lax.pmean(total, "data")
+            return total, g_params, stat_delta
+
+        sm = shard_map(
+            device_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        params = DynParams(gauss=dyn_state.store.params,
+                           motion_coeff=dyn_state.motion_coeff,
+                           net=dyn_state.net)
+        total, g_params, stat_delta = sm(
+            params, dyn_state.store.alive, dyn_state.store.time_ind,
+            batch, rng)
+
+        new_params, new_opt = adam_update(
+            g_params, dyn_state.opt, params, dyn_trainer.lr_tree(iteration))
+        new_stats = jax.tree.map(
+            lambda s_, d: s_ + d,
+            dyn_state.stats._replace(
+                max_radii2d=jnp.zeros_like(dyn_state.stats.max_radii2d)),
+            stat_delta._replace(
+                max_radii2d=jnp.maximum(dyn_state.stats.max_radii2d,
+                                        stat_delta.max_radii2d)))
+        new_state = dyn_state._replace(
+            store=dyn_state.store._replace(params=new_params.gauss),
+            motion_coeff=new_params.motion_coeff,
+            net=new_params.net,
+            opt=new_opt,
+            stats=new_stats,
+        )
+        return new_state, {"loss": total}
+
+    return functools.partial(
+        jax.jit, static_argnames=("active", "sh_degree", "use_deform"))(step)

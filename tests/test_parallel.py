@@ -149,3 +149,52 @@ class TestDataParallelStep:
 
         # stats accumulated over all 4 frames (denom counts visibility)
         assert float(jnp.max(new_state.stats.denom)) >= 1.0
+
+
+class TestShardedDynamicStep:
+    def test_joint_dynamic_dp_step_runs(self):
+        from test_dynamic import make_dynamic_scene, W as DW, H as DH
+
+        from rodygs_tpu.parallel.sharded import make_sharded_dynamic_step
+        from rodygs_tpu.train.trainer_dynamic import DynTrainer, DynTrainerConfig
+
+        (sm_, sc), (dm0, dc, vel), views = make_dynamic_scene(n_frames=4)
+        static_store = G.from_point_cloud(sm_, sc, sh_degree=1, capacity=128)
+        dyn_store = G.from_point_cloud(
+            dm0, dc, sh_degree=1, capacity=64,
+            times=np.zeros(len(dm0), np.float32))
+        poses = CameraPoses(
+            q_c2w=jnp.stack([v[0].q_c2w for v in views]),
+            t_c2w=jnp.stack([v[0].t_c2w for v in views]))
+        loss = MultiLoss([LossTerm("l1", 0.8, "L1Loss"),
+                          LossTerm("motion_l1", 0.01, "MotionL1Loss")])
+        cfg = DynTrainerConfig(
+            image_width=DW, image_height=DH, sh_degree=1,
+            deform_netwidth=32, deform_t_emb_multires=6, num_basis=4)
+        dt = DynTrainer(cfg, loss, dyn_store, 3.0, jax.random.key(0))
+        mesh = make_mesh(n_data=4, n_tile=2)
+        step = make_sharded_dynamic_step(dt, cfg, loss, mesh)
+
+        batches = []
+        for i in range(4):
+            cam, gt = views[i]
+            batches.append(FrameBatch(
+                gt_image=jnp.asarray(gt), gt_depth=None, motion_mask=None,
+                frame_idx=jnp.asarray(i, jnp.int32),
+                time=cam.time, fovx=cam.fovx, fovy=cam.fovy))
+        batch = stack_batches(batches)
+
+        new_state, metrics = step(
+            dt.state, static_store, poses, batch, jax.random.key(1),
+            jnp.asarray(1.0), active=loss.active_set(1), sh_degree=1,
+            use_deform=True)
+        assert np.isfinite(float(metrics["loss"]))
+        delta = float(jnp.abs(new_state.store.params.xyz
+                              - dt.state.store.params.xyz).max())
+        assert delta > 0
+        # motion coefficients receive gradient (the net itself cannot at
+        # step 1: with zero-initialized coefficients, d(coeff@basis)/d(net)
+        # is identically zero — same as the reference)
+        c_delta = float(jnp.abs(new_state.motion_coeff
+                                - dt.state.motion_coeff).max())
+        assert c_delta > 0
