@@ -172,7 +172,13 @@ class RoDyGSEvaluator:
             self.gt_storer(name, gt)
             self.pred_storer(name, pred)
 
-        result = {"viz": {k: float(np.nanmean(v)) for k, v in scores.items()}}
+        def _mean(vals):
+            arr = np.asarray(vals, np.float64)
+            if np.isnan(arr).all():
+                return float("nan")  # e.g. LPIPS without weights
+            return float(np.nanmean(arr))
+
+        result = {"viz": {k: _mean(v) for k, v in scores.items()}}
 
         # train-pose metrics vs GT
         calibrated = self.static_datamodule.get_train_poses()
