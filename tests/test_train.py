@@ -372,3 +372,37 @@ class TestRigidityFormulas:
         color_w = np.exp(-lam * color_d2)
         expect = (color_w * dist_w * sim).mean()
         np.testing.assert_allclose(val, expect, rtol=5e-3, atol=1e-5)
+
+
+class TestFragmentProfileEscalation:
+    def test_overflow_escalates_to_wide(self):
+        # Huge-footprint gaussians exceed the lean tier slot budget at a
+        # 20x15-tile grid; on an iteration divisible by 25 the trainer must
+        # re-jit with the "wide" profile and keep producing finite losses.
+        W2, H2 = 320, 240
+        (gt_means, gt_cols), views = make_gt_scene(n=60)
+        store = G.from_point_cloud(gt_means, gt_cols, sh_degree=1, capacity=256)
+        store = store._replace(params=store.params._replace(
+            scaling=jnp.full_like(store.params.scaling, jnp.log(0.9))))
+        poses = CameraPoses(
+            q_c2w=jnp.stack([v[0].q_c2w for v in views]),
+            t_c2w=jnp.stack([v[0].t_c2w for v in views]))
+        loss = MultiLoss([LossTerm("l1", 1.0, "L1Loss")])
+        cfg = StaticTrainerConfig(
+            image_width=W2, image_height=H2, sh_degree=1,
+            densification_interval=0, densify_from_iter=10**9,
+            camera_rotation_lr=0.0, camera_translation_lr=0.0)
+        trainer = ThreeDGSTrainer(cfg, loss, store, poses, 3.0)
+        assert trainer.fragment_profile == "lean"
+        cam = views[0][0]
+        gt_img = np.zeros((H2, W2, 3), np.float32)
+        batch = FrameBatch(
+            gt_image=jnp.asarray(gt_img), gt_depth=None, motion_mask=None,
+            frame_idx=jnp.asarray(0, jnp.int32),
+            time=cam.time, fovx=cam.fovx, fovy=cam.fovy)
+        # escalation only checked on iterations % 25 == 0
+        trainer.train_iteration(batch, 25, jax.random.key(0))
+        assert trainer.fragment_profile == "wide"
+        # and the wide step still runs
+        m = trainer.train_iteration(batch, 26, jax.random.key(1))
+        assert np.isfinite(float(m["loss"]))
