@@ -9,8 +9,16 @@ dict contract: rendered_image / rendered_depth / rendered_normal /
 rendered_alpha / viewspace_points / visibility_filter / radii.
 
 Gradient paths (all via `jax.grad`, no hand-written chain):
-  params -> preprocess (jnp) -> records gather (jnp.take) ->
+  params -> preprocess (jnp) -> fragment expand/sort (compact.py) ->
   rasterize_tiles (Pallas custom VJP) -> image.
+
+Two binning backends (static `binning_mode` arg):
+  * "compact" (default): exact-compaction index structure where the fragment
+    sort carries the record rows and the gradient reduction is a Pallas
+    windowed segment-sum — no XLA gather/scatter at fragment scale
+    (render/compact.py).
+  * "legacy": round-1 broadcast-tier expansion + records gather, whose VJP
+    is an XLA scatter-add (render/binning.py). Kept as a cross-check.
 
 The screen-space densification gradient of the reference (`retain_grad` on a
 zero tensor, `renderer.py:38-44`) is reproduced functionally: pass a zero
@@ -29,6 +37,8 @@ import numpy as np
 
 from .binning import CHUNK, DUMMY_COLS, TILE, bin_splats, tile_grid
 from .camera import Camera
+from .compact import (NUM_REC_ROWS, build_binning, build_table,
+                      composite_compact, fragment_capacity, padded_width)
 from .preprocess import Splats2D, preprocess
 from .tile_kernel import NUM_CHANNELS, PIX, rasterize_tiles, tiles_to_image
 
@@ -66,10 +76,27 @@ def _pack_records(splats: Splats2D) -> jnp.ndarray:
 
 
 
+def _local_tile_slice(tile_starts, tile_counts, tile_axis, num_tiles):
+    """Slice the tile-range arrays to this device's contiguous tile block
+    (tile-space sharding). Returns (local_starts, local_counts, t0, t_local)."""
+    n_shards = jax.lax.axis_size(tile_axis)
+    t_local = -(-num_tiles // n_shards)
+    shard = jax.lax.axis_index(tile_axis)
+    t0 = shard * t_local
+    # Last shard may extend past num_tiles: pad with zero-count tiles.
+    pad = n_shards * t_local - num_tiles
+    starts_ext = jnp.pad(tile_starts, (0, pad))
+    counts_ext = jnp.pad(tile_counts, (0, pad))
+    local_starts = jax.lax.dynamic_slice(starts_ext, (t0,), (t_local,))
+    local_counts = jax.lax.dynamic_slice(counts_ext, (t0,), (t_local,))
+    return local_starts, local_counts, t0, t_local
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sh_degree", "image_width", "image_height",
-                     "max_fragments", "tile_axis", "fragment_profile"),
+                     "max_fragments", "tile_axis", "fragment_profile",
+                     "binning_mode"),
 )
 def render(
     means3d: jnp.ndarray,
@@ -89,6 +116,7 @@ def render(
     max_fragments: int | None = None,
     tile_axis: str | None = None,
     fragment_profile: str = "lean",
+    binning_mode: str = "compact",
 ):
     """Differentiable tile rasterization of N Gaussians.
 
@@ -113,53 +141,79 @@ def render(
                           jnp.float32)
         splats = splats._replace(mean2d=splats.mean2d + means2d_offset / scale)
 
-    binning = bin_splats(
-        jax.lax.stop_gradient(splats.mean2d),
-        jax.lax.stop_gradient(splats.depth),
-        splats.radius, splats.visible,
-        tiles_x, tiles_y, max_fragments, profile=fragment_profile,
-    )
-
-    records = _pack_records(splats)  # [16, N+D]
-    # NOTE on the gather's autodiff transpose (a scatter-add over ~P
-    # duplicate indices): measured ~47-115ms depending on capacity on v5e.
-    # Alternatives that permute P-sized data (inverse-permutation +
-    # structural reshape-sums) measured WORSE (any P-scale gather/scatter
-    # costs 20-70ms). The lever that works is shrinking capacity
-    # (binning.FRAGMENT_PROFILES). (A split gather intended to let XLA DCE
-    # the zero-cotangent normal rows' scatter measured worse — the aux
-    # gather + concat cost more than the saved scatter rows.)
-    padded = jnp.take(records, binning.padded_gid, axis=1)
-
-    if tile_axis is None:
-        tile_out = rasterize_tiles(
-            padded, binning.tile_starts, binning.tile_counts, tiles_x)
+    num_tiles = tiles_x * tiles_y
+    if binning_mode == "compact":
+        n = splats.mean2d.shape[1]
+        capacity = fragment_capacity(n, fragment_profile)
+        cb = build_binning(splats, tiles_x, tiles_y, capacity)
+        nw = padded_width(n)
+        rec13 = jnp.concatenate(
+            [
+                splats.mean2d,                 # rows 0:2
+                splats.conic,                  # rows 2:5
+                splats.opacity[None, :],       # row 5
+                splats.rgb,                    # rows 6:9
+                splats.depth[None, :],         # row 9
+                splats.normal,                 # rows 10:13
+            ],
+            axis=0,
+        )
+        table = build_table(jnp.pad(rec13, ((0, 0), (0, nw - n))),
+                            cb.aux_rows)
+        if tile_axis is None:
+            tile_out = composite_compact(
+                table, cb.bases, cb.f_kept, cb.tile_starts, cb.tile_counts,
+                jnp.zeros((1,), jnp.int32), tiles_x, tiles_y)
+        else:
+            # Tile-space sharding: this device composites a contiguous slice
+            # of the tile grid; outputs reassemble with a tiled all_gather
+            # whose VJP routes each device exactly its own tiles' cotangents.
+            local_starts, local_counts, t0, _ = _local_tile_slice(
+                cb.tile_starts, cb.tile_counts, tile_axis, num_tiles)
+            local_out = composite_compact(
+                table, cb.bases, cb.f_kept, local_starts, local_counts,
+                jnp.reshape(t0, (1,)).astype(jnp.int32),
+                tiles_x, tiles_y)
+            gathered = jax.lax.all_gather(
+                local_out, tile_axis, axis=0, tiled=True)
+            tile_out = gathered[:num_tiles]
+        num_fragments = cb.num_fragments
+        overflow = cb.overflow
+        dropped = cb.dropped
     else:
-        # Tile-space sharding (see parallel/): this device composites a
-        # contiguous slice of the tile grid; outputs reassemble with a tiled
-        # all_gather whose VJP routes each device exactly its own tiles'
-        # cotangents. The backward read-modify-write only ever adds to rows
-        # the local tiles own, so per-device gradient contributions are
-        # naturally local — the caller psums over the axis.
-        from .tile_kernel import rasterize_tiles_ranged
+        binning = bin_splats(
+            jax.lax.stop_gradient(splats.mean2d),
+            jax.lax.stop_gradient(splats.depth),
+            splats.radius, splats.visible,
+            tiles_x, tiles_y, max_fragments, profile=fragment_profile,
+        )
 
-        n_shards = jax.lax.axis_size(tile_axis)
-        num_tiles = tiles_x * tiles_y
-        t_local = -(-num_tiles // n_shards)
-        shard = jax.lax.axis_index(tile_axis)
-        t0 = shard * t_local
-        # Last shard may extend past num_tiles: pad with zero-count tiles.
-        pad = n_shards * t_local - num_tiles
-        starts_ext = jnp.pad(binning.tile_starts, (0, pad))
-        counts_ext = jnp.pad(binning.tile_counts, (0, pad))
-        local_starts = jax.lax.dynamic_slice(starts_ext, (t0,), (t_local,))
-        local_counts = jax.lax.dynamic_slice(counts_ext, (t0,), (t_local,))
-        local_out = rasterize_tiles_ranged(
-            padded, local_starts, local_counts,
-            jnp.reshape(t0, (1,)).astype(jnp.int32), tiles_x)
-        gathered = jax.lax.all_gather(
-            local_out, tile_axis, axis=0, tiled=True)  # [n*t_local, 8, 256]
-        tile_out = gathered[:num_tiles]
+        records = _pack_records(splats)  # [16, N+D]
+        # NOTE on the gather's autodiff transpose (a scatter-add over ~P
+        # duplicate indices): measured ~47-115ms depending on capacity on
+        # v5e; the compact mode exists to eliminate it.
+        padded = jnp.take(records, binning.padded_gid, axis=1)
+
+        if tile_axis is None:
+            tile_out = rasterize_tiles(
+                padded, binning.tile_starts, binning.tile_counts, tiles_x)
+        else:
+            from .tile_kernel import rasterize_tiles_ranged
+
+            local_starts, local_counts, t0, _ = _local_tile_slice(
+                binning.tile_starts, binning.tile_counts, tile_axis,
+                num_tiles)
+            local_out = rasterize_tiles_ranged(
+                padded, local_starts, local_counts,
+                jnp.reshape(t0, (1,)).astype(jnp.int32), tiles_x)
+            gathered = jax.lax.all_gather(
+                local_out, tile_axis, axis=0, tiled=True)
+            tile_out = gathered[:num_tiles]
+        num_fragments = binning.num_fragments
+        overflow = binning.overflow
+        # legacy mode clamps spans instead of dropping whole gaussians; it
+        # has no exact dropped-fragment count — report -1 when overflowing.
+        dropped = jnp.where(overflow, jnp.int32(-1), jnp.int32(0))
     img = tiles_to_image(tile_out, tiles_x, tiles_y, image_width, image_height)
 
     rgb = img[:, :, 0:3]
@@ -176,6 +230,7 @@ def render(
         "rendered_alpha": alpha,
         "radii": splats.radius,
         "visibility_filter": splats.radius > 0,
-        "num_fragments": binning.num_fragments,
-        "overflow": binning.overflow,
+        "num_fragments": num_fragments,
+        "overflow": overflow,
+        "dropped": dropped,
     }

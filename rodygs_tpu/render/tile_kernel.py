@@ -319,8 +319,8 @@ def rasterize_tiles_ranged(padded_records, tile_starts, tile_counts,
                            tile_id_offset, tiles_x: int):
     """`rasterize_tiles` taking a [1] global-tile-id offset — used by the
     tile-sharded render path, which passes a slice of the range arrays."""
-    return _rasterize_fwd_impl(padded_records, tile_starts, tile_counts,
-                               tile_id_offset, tiles_x)
+    return rasterize_fwd_impl(padded_records, tile_starts, tile_counts,
+                              tile_id_offset, tiles_x)
 
 
 def rasterize_tiles(padded_records, tile_starts, tile_counts, tiles_x: int):
@@ -339,8 +339,10 @@ def rasterize_tiles(padded_records, tile_starts, tile_counts, tiles_x: int):
         jnp.zeros((1,), jnp.int32), tiles_x)
 
 
-def _rasterize_fwd_impl(padded_records, tile_starts, tile_counts,
-                        tile_id_offset, tiles_x):
+def rasterize_fwd_impl(padded_records, tile_starts, tile_counts,
+                       tile_id_offset, tiles_x):
+    """Raw forward pallas_call (no VJP wiring) — shared by the legacy
+    custom-vjp wrapper and compact.composite_compact."""
     num_tiles = tile_starts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -365,13 +367,16 @@ def _rasterize_fwd_impl(padded_records, tile_starts, tile_counts,
 
 def _rasterize_fwd(padded_records, tile_starts, tile_counts,
                    tile_id_offset, tiles_x):
-    out = _rasterize_fwd_impl(padded_records, tile_starts, tile_counts,
-                              tile_id_offset, tiles_x)
+    out = rasterize_fwd_impl(padded_records, tile_starts, tile_counts,
+                             tile_id_offset, tiles_x)
     return out, (padded_records, tile_starts, tile_counts, tile_id_offset, out)
 
 
-def _rasterize_bwd(tiles_x, residuals, gout):
-    padded_records, tile_starts, tile_counts, tile_id_offset, out = residuals
+def rasterize_bwd_impl(padded_records, tile_starts, tile_counts,
+                       tile_id_offset, out, gout, tiles_x):
+    """Raw backward pallas_call: d(loss)/d(padded_records) [16, P] from the
+    tile-plane cotangent `gout` — shared by the legacy custom-vjp wrapper
+    and compact.composite_compact."""
     num_tiles = tile_starts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -402,6 +407,13 @@ def _rasterize_bwd(tiles_x, residuals, gout):
         input_output_aliases={4: 0},  # d_zero (4th tensor arg) -> output
     )(tile_starts, tile_counts, tile_id_offset, padded_records, d_zero,
       out, gout)
+    return d_records
+
+
+def _rasterize_bwd(tiles_x, residuals, gout):
+    padded_records, tile_starts, tile_counts, tile_id_offset, out = residuals
+    d_records = rasterize_bwd_impl(padded_records, tile_starts, tile_counts,
+                                   tile_id_offset, out, gout, tiles_x)
     return (
         d_records,
         np.zeros(tile_starts.shape, dtype=jax.dtypes.float0),

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import gaussians as G
+from ..render.compact import next_profile
 from ..render.rasterize import render
 from .densify import accumulate_stats
 from .optim import adam_update
@@ -123,6 +124,7 @@ class RoDyGSTrainer:
                 "visible": out["visibility_filter"][cs:],
                 "loss_dict": loss_dict,
                 "overflow": out["overflow"],
+                "dropped": out["dropped"],
             }
             return total, aux
 
@@ -147,7 +149,7 @@ class RoDyGSTrainer:
             stats=new_stats,
         )
         metrics = {"loss": total, "overflow": aux["overflow"],
-                   **aux["loss_dict"]}
+                   "dropped": aux["dropped"], **aux["loss_dict"]}
         return new_state, metrics
 
     # --- host loop ---------------------------------------------------------
@@ -168,8 +170,13 @@ class RoDyGSTrainer:
         self.static.state, m_static = self.static._step_fn(
             self.static.state, static_batch, k_static,
             jnp.asarray(iteration, jnp.float32),
-            active=active, sh_degree=self.static.active_sh_degree)
+            active=active, sh_degree=self.static.active_sh_degree,
+            fragment_profile=self.static.fragment_profile)
         metrics["static"] = m_static
+        if iteration % 25 == 0 and bool(m_static["overflow"]):
+            wider = next_profile(self.static.fragment_profile)
+            if wider is not None:
+                self.static.fragment_profile = wider
 
         # static densification on its own schedule
         cfg_s = self.static.cfg
@@ -194,9 +201,10 @@ class RoDyGSTrainer:
                 use_deform=use_deform,
                 fragment_profile=self.dyn_fragment_profile)
             metrics["dynamic"] = m_dyn
-            if (self.dyn_fragment_profile == "lean" and iteration % 25 == 0
-                    and bool(m_dyn["overflow"])):
-                self.dyn_fragment_profile = "wide"
+            if iteration % 25 == 0 and bool(m_dyn["overflow"]):
+                wider = next_profile(self.dyn_fragment_profile)
+                if wider is not None:
+                    self.dyn_fragment_profile = wider
             info = self.dynamic.maybe_densify(
                 iteration, jax.random.fold_in(k_dens, 1))
             if info is not None:

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..models import gaussians as G
 from ..ops.schedules import expon_lr
 from ..render.camera import Camera
+from ..render.compact import next_profile
 from ..render.rasterize import render
 from .densify import DensifyStats, accumulate_stats, densify_and_prune, init_stats, reset_opacity
 from .losses import MultiLoss
@@ -194,6 +195,7 @@ class ThreeDGSTrainer:
                 "visible": out["visibility_filter"],
                 "loss_dict": loss_dict,
                 "overflow": out["overflow"],
+                "dropped": out["dropped"],
             }
             return total, aux
 
@@ -225,7 +227,7 @@ class ThreeDGSTrainer:
             cam_opt=new_cam_opt,
         )
         metrics = {"loss": total, "overflow": aux["overflow"],
-                   **aux["loss_dict"]}
+                   "dropped": aux["dropped"], **aux["loss_dict"]}
         return new_state, metrics
 
     def _densify_impl(self, state: StaticTrainState, key,
@@ -267,9 +269,13 @@ class ThreeDGSTrainer:
             fragment_profile=self.fragment_profile)
         # Overflow escalation check only every 25 iters: pulling the flag to
         # the host forces a device sync that breaks async dispatch (~30ms).
-        if (self.fragment_profile == "lean" and iteration % 25 == 0
-                and bool(metrics["overflow"])):
-            self.fragment_profile = "wide"
+        # Climbs the lean->wide->huge ladder (one re-jit per stage); at the
+        # top, dropped-fragment counts keep being reported in metrics so
+        # capacity clipping is never silent (VERDICT r1 #8).
+        if iteration % 25 == 0 and bool(metrics["overflow"]):
+            wider = next_profile(self.fragment_profile)
+            if wider is not None:
+                self.fragment_profile = wider
 
         cfg = self.cfg
         info = None

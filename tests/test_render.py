@@ -2,6 +2,8 @@
 compositor, and gradient checks (SURVEY.md §4 item (b); BASELINE.json
 configs[0]: forward + backward grad check on CPU)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -178,3 +180,89 @@ class TestBinning:
             if len(seg) > 1:
                 d = depth[seg]
                 assert (np.diff(d) >= -1e-6).all()
+
+
+class TestCompactBinning:
+    """The compact fragment path (render/compact.py) vs the legacy
+    broadcast-tier path — same outputs and gradients bit-for-bit on scenes
+    where neither overflows, plus the whole-gaussian drop semantics."""
+
+    def test_matches_legacy_fwd_and_bwd(self):
+        means, scales, quats, opac, shs, cam = make_scene(n=250, sh_extra=True)
+        kw = dict(sh_degree=3, image_width=W, image_height=H)
+        out_c = render(means, shs, opac, scales, quats, cam,
+                       binning_mode="compact", **kw)
+        out_l = render(means, shs, opac, scales, quats, cam,
+                       binning_mode="legacy", **kw)
+        assert not bool(out_c["overflow"])
+        assert int(out_c["dropped"]) == 0
+        for k in ("rendered_image", "rendered_depth", "rendered_alpha",
+                  "rendered_normal"):
+            np.testing.assert_array_equal(np.asarray(out_c[k]),
+                                          np.asarray(out_l[k]), err_msg=k)
+
+        target = jnp.full((H, W, 3), 0.3)
+
+        def loss(mode, means, scales, quats, opac, shs, cam):
+            out = render(means, shs, opac, scales, quats, cam,
+                         binning_mode=mode, **kw)
+            return (jnp.mean((out["rendered_image"] - target) ** 2)
+                    + 0.1 * jnp.mean(out["rendered_depth"])
+                    + 0.05 * jnp.mean(out["rendered_alpha"]))
+
+        gc = jax.grad(functools.partial(loss, "compact"),
+                      argnums=(0, 1, 2, 3, 4, 5))(
+            means, scales, quats, opac, shs, cam)
+        gl = jax.grad(functools.partial(loss, "legacy"),
+                      argnums=(0, 1, 2, 3, 4, 5))(
+            means, scales, quats, opac, shs, cam)
+        for a, b in zip(jax.tree.leaves(gc), jax.tree.leaves(gl)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_drop_semantics_under_overflow(self):
+        # Blow past the lean capacity (6N): big splats covering many tiles.
+        means, scales, quats, opac, shs, cam = make_scene(n=120)
+        scales = jnp.full_like(scales, 0.8)
+        out = render(means, shs, opac, scales, quats, cam, 0, W, H,
+                     fragment_profile="lean")
+        assert bool(out["overflow"])
+        assert int(out["dropped"]) > 0
+        # dropped + kept == true demand
+        assert int(out["num_fragments"]) > int(out["dropped"])
+        img = np.asarray(out["rendered_image"])
+        assert np.isfinite(img).all()
+        # escalating the ladder until capacity fits recovers the gold image
+        from rodygs_tpu.render.compact import PROFILE_LADDER, fragment_capacity
+        fit = None
+        for p in PROFILE_LADDER:
+            if fragment_capacity(120, p) >= int(out["num_fragments"]):
+                fit = p
+                break
+        assert fit is not None
+        out_ok = render(means, shs, opac, scales, quats, cam, 0, W, H,
+                        fragment_profile=fit)
+        assert not bool(out_ok["overflow"])
+        assert int(out_ok["dropped"]) == 0
+        splats = preprocess(means, scales, quats, opac, shs, 0, cam, W, H)
+        gold = composite_reference(splats, W, H)
+        np.testing.assert_allclose(out_ok["rendered_image"],
+                                   gold["rendered_image"], atol=2e-5)
+
+    def test_tile_ranges_exact_vs_brute_force(self):
+        from rodygs_tpu.render.compact import build_binning, fragment_capacity, tile_rect
+        means, scales, quats, opac, shs, cam = make_scene(n=90, seed=5)
+        splats = preprocess(means, scales, quats, opac, shs, 0, cam, W, H)
+        tx, ty = tile_grid(W, H)
+        cb = build_binning(splats, tx, ty, fragment_capacity(90, "huge"))
+        xmin, ymin, xmax, ymax = (np.asarray(v) for v in tile_rect(
+            splats.mean2d, splats.radius, tx, ty))
+        vis = np.asarray(splats.visible) & (xmax > xmin) & (ymax > ymin)
+        counts = np.zeros(tx * ty, np.int64)
+        for g in range(90):
+            if not vis[g]:
+                continue
+            for yy in range(ymin[g], ymax[g]):
+                counts[yy * tx + xmin[g]:yy * tx + xmax[g]] += 1
+        np.testing.assert_array_equal(np.asarray(cb.tile_counts), counts)
+        np.testing.assert_array_equal(
+            np.asarray(cb.tile_starts), np.cumsum(counts) - counts)
