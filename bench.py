@@ -70,19 +70,27 @@ def main():
         camera_rotation_lr=1e-5, camera_translation_lr=1e-6)
     trainer = ThreeDGSTrainer(cfg, loss, store, poses, spatial_lr_scale=4.0)
 
-    # pre-render GT views with the model itself (realistic fragment load)
+    # pre-render GT views with the model itself, then perturb: identical GTs
+    # would give an exactly-zero loss (zero grads, frozen params, no
+    # densification pressure) — not a training workload. The perturbation
+    # keeps gradients and fragment-demand dynamics realistic.
     gts = []
     p = store.params
+    gt_rng = np.random.default_rng(11)
     for i in range(f):
         cam = make_camera(poses.q_c2w[i], poses.t_c2w[i], 0.9, 0.9, 0.0)
         out = render(p.xyz, G.get_features(p), G.get_opacity(p),
                      G.get_scaling(p), p.rotation, cam, 3, W, H,
                      alive=store.alive)
-        gts.append(np.asarray(out["rendered_image"]))
+        img = np.asarray(out["rendered_image"])
+        img = np.clip(img + gt_rng.normal(0, 0.05, img.shape), 0.0, 1.0)
+        # device-resident once: per-step host->device upload of the GT is not
+        # part of the train-step contract (the reference holds images on GPU)
+        gts.append(jax.device_put(jnp.asarray(img, jnp.float32)))
 
     def batch_for(i):
         return FrameBatch(
-            gt_image=jnp.asarray(gts[i % f]), gt_depth=None, motion_mask=None,
+            gt_image=gts[i % f], gt_depth=None, motion_mask=None,
             frame_idx=jnp.asarray(i % f, jnp.int32), time=jnp.asarray(0.0),
             fovx=jnp.asarray(0.9), fovy=jnp.asarray(0.9))
 
