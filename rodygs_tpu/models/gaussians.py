@@ -48,6 +48,19 @@ def inverse_sigmoid(x):
     return jnp.log(x / (1.0 - x))
 
 
+def shard_interleave(store: GaussianStore, n_shards: int) -> GaussianStore:
+    """Permute capacity slots so alive Gaussians (packed at the front by
+    `from_point_cloud`) spread round-robin over `n_shards` equal blocks —
+    required before sharding the store over a "gauss" mesh axis, so every
+    shard starts with ~n/S alive slots and ~equal densification headroom.
+    Slot order is semantically free (it only breaks depth-sort ties)."""
+    c = capacity_of(store)
+    assert c % n_shards == 0, (c, n_shards)
+    src = jnp.asarray(
+        np.arange(c).reshape(c // n_shards, n_shards).T.reshape(-1))
+    return jax.tree.map(lambda x: x[src], store)
+
+
 def capacity_of(store: GaussianStore) -> int:
     return store.params.xyz.shape[0]
 

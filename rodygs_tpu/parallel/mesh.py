@@ -9,11 +9,17 @@ Mesh axes:
   * "data"  — camera/frame data parallelism: each device renders different
     training frames per step; Gaussian-parameter gradients all-reduce over
     ICI (the batch axis the reference never had — it renders 1 frame/step).
+  * "gauss" — primitive sharding: the Gaussian store (params, Adam moments,
+    densify stats) is partitioned over this axis; projected splat records
+    are all-gathered per render and parameter gradients come back through
+    the gather's reduce-scatter VJP. Densification/pruning run per shard on
+    the local capacity slice (BASELINE.json north star).
   * "tile"  — pixel/tile-space parallelism within a frame: each device
     composites a contiguous slice of the tile grid (the blockwise-attention
     analog of SURVEY.md §5.7), exchanging per-tile outputs with an
     all_gather and per-fragment gradients with a reduce-scatter (via the
-    shard_map autodiff of the gather).
+    shard_map autodiff of the gather). The sharded steps pass the combined
+    ("gauss", "tile") axes to `render` so compositing splits over both.
 """
 
 from __future__ import annotations
@@ -24,14 +30,14 @@ from jax.sharding import Mesh
 
 
 def make_mesh(n_data: int | None = None, n_tile: int = 1,
-              devices=None) -> Mesh:
-    """Build a ("data", "tile") mesh. Defaults to all devices on the data
-    axis."""
+              n_gauss: int = 1, devices=None) -> Mesh:
+    """Build a ("data", "gauss", "tile") mesh. Defaults to all devices on
+    the data axis."""
     devices = devices if devices is not None else jax.devices()
     total = len(devices)
     if n_data is None:
-        n_data = total // n_tile
-    assert n_data * n_tile == total, (
-        f"mesh {n_data}x{n_tile} != {total} devices")
-    arr = np.asarray(devices).reshape(n_data, n_tile)
-    return Mesh(arr, ("data", "tile"))
+        n_data = total // (n_tile * n_gauss)
+    assert n_data * n_tile * n_gauss == total, (
+        f"mesh {n_data}x{n_gauss}x{n_tile} != {total} devices")
+    arr = np.asarray(devices).reshape(n_data, n_gauss, n_tile)
+    return Mesh(arr, ("data", "gauss", "tile"))

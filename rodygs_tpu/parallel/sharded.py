@@ -45,19 +45,37 @@ def stack_batches(batches: list[FrameBatch]) -> FrameBatch:
     return jax.tree.map(stack, *batches)
 
 
+def composite_axes(n_gauss: int, n_tile: int):
+    """Mesh axes over which the tile grid splits: the gauss axis would
+    otherwise replicate the compositing work, so it joins the tile split."""
+    axes = tuple(a for a, on in (("gauss", n_gauss > 1),
+                                 ("tile", n_tile > 1)) if on)
+    return axes if axes else None
+
+
 def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
                              spatial_lr_scale: float):
     """Build the jitted multi-device static train step.
 
     Returns step(state, batch [B-leading sharded], rng, iteration, active,
-    sh_degree) -> (state, metrics). B == mesh data-axis size."""
+    sh_degree) -> (state, metrics). B == mesh data-axis size. If the mesh has
+    a non-trivial "gauss" axis, the store/opt/stats arrays keep their global
+    shapes but are partitioned over their leading (capacity) dim by the
+    shard_map specs — place them with NamedSharding(mesh, P("gauss")) to
+    avoid any resharding. Parameter gradients and the Adam update stay
+    shard-local (no all-reduce of Gaussian parameters — only projected
+    records move, see render(gauss_axis=...))."""
     n_tile = mesh.shape["tile"]
+    n_gauss = mesh.shape.get("gauss", 1)
     tile_axis = "tile" if n_tile > 1 else None
+    gauss_axis = "gauss" if n_gauss > 1 else None
+    comp_axis = composite_axes(n_gauss, n_tile)
 
     def step(state: StaticTrainState, batch: FrameBatch, rng, iteration,
              active, sh_degree: int):
         def device_fn(params, alive, poses, stats, batch, rng, iteration):
             b = jax.tree.map(lambda x: x[0], batch)  # local shard: one frame
+            n_local = params.xyz.shape[0]
 
             def local_loss(params, poses, offset):
                 camera = make_camera_from_poses(poses, b)
@@ -66,8 +84,17 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
                     G.get_scaling(params, cfg.isotropic), params.rotation,
                     camera, sh_degree, cfg.image_width, cfg.image_height,
                     alive=alive, means2d_offset=offset,
-                    max_fragments=cfg.max_fragments, tile_axis=tile_axis,
+                    max_fragments=cfg.max_fragments, tile_axis=comp_axis,
+                    gauss_axis=gauss_axis,
                 )
+                # radii/visibility cover the gathered set, shard-ordered:
+                # slice this shard's block for the local densify stats.
+                radii, visible = out["radii"], out["visibility_filter"]
+                if gauss_axis is not None:
+                    start = jax.lax.axis_index(gauss_axis) * n_local
+                    radii = jax.lax.dynamic_slice(radii, (start,), (n_local,))
+                    visible = jax.lax.dynamic_slice(
+                        visible, (start,), (n_local,))
                 ctx = {
                     "pred_img": out["rendered_image"],
                     "gt_img": b.gt_image,
@@ -78,17 +105,24 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
                     "rng": rng,
                 }
                 total, _ = loss(ctx, active)
-                return total, (out["radii"], out["visibility_filter"])
+                return total, (radii, visible)
 
-            offset0 = jnp.zeros((2, params.xyz.shape[0]), jnp.float32)
+            offset0 = jnp.zeros((2, n_local), jnp.float32)
             (total, (radii, visible)), grads = jax.value_and_grad(
                 local_loss, argnums=(0, 1, 2), has_aux=True)(
                     params, poses, offset0)
             g_params, g_poses, g_offset = grads
             if tile_axis is not None:
+                # each tile column saw only its tiles' cotangents; the gauss
+                # part of the composite split was already reduced by the
+                # record-gather's psum_scatter VJP.
                 g_params, g_poses, g_offset = jax.lax.psum(
                     (g_params, g_poses, g_offset), tile_axis)
                 total = jax.lax.pmean(total, tile_axis)
+            if gauss_axis is not None:
+                # pose grads sum over ALL gaussians, not just this shard's
+                g_poses = jax.lax.psum(g_poses, gauss_axis)
+                total = jax.lax.pmean(total, gauss_axis)
 
             # per-frame stats BEFORE frame averaging (reference semantics:
             # every frame's screen-grad norm accumulates)
@@ -107,10 +141,11 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
             total = jax.lax.pmean(total, "data")
             return total, g_params, g_poses, stat_delta
 
+        gspec = P("gauss") if gauss_axis is not None else P()
         sm = shard_map(
             device_fn, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P("data"), P(), P()),
-            out_specs=(P(), P(), P(), P()),
+            in_specs=(gspec, gspec, P(), gspec, P("data"), P(), P()),
+            out_specs=(P(), gspec, P(), gspec),
             check_vma=False,
         )
         total, g_params, g_poses, stat_delta = sm(
@@ -134,6 +169,64 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
 
     return functools.partial(
         jax.jit, static_argnames=("active", "sh_degree"))(step)
+
+
+def make_sharded_densify(cfg: StaticTrainerConfig, mesh: Mesh,
+                         spatial_lr_scale: float):
+    """Sharded densification/pruning: each gauss shard clones/splits/prunes
+    within its LOCAL capacity slice (free-slot allocation, Adam-moment
+    surgery and stats all stay on-shard — the BASELINE.json north star
+    'densification/pruning operate on the sharded primitive store').
+
+    Capacity note: shards fill independently; a full shard drops its own
+    overflow (reported in the psum'd DensifyInfo) while others may still
+    have room. Run `models.gaussians.shard_interleave(store, n_gauss)` once
+    at init so alive slots start round-robin balanced; clones/splits then
+    stay approximately balanced because they derive from the local
+    population. Explicit cross-shard rebalance is intentionally avoided (it
+    would move whole parameter+moment rows over ICI for marginal benefit);
+    the psum'd `dropped` count makes any residual imbalance visible.
+    """
+    from ..train.densify import densify_and_prune
+    from ..train.optim import AdamState
+
+    n_gauss = mesh.shape.get("gauss", 1)
+
+    def densify(state: StaticTrainState, key, max_screen_size):
+        def device_fn(store, aux, stats, key):
+            if n_gauss > 1:
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index("gauss"))
+            new_store, new_aux, new_stats, info = densify_and_prune(
+                store, aux, stats, key,
+                max_grad=cfg.densify_grad_threshold,
+                min_opacity=0.005,
+                extent=spatial_lr_scale,
+                percent_dense=cfg.percent_dense,
+                max_screen_size=max_screen_size,
+                isotropic=cfg.isotropic,
+            )
+            if n_gauss > 1:
+                info = jax.lax.psum(info, "gauss")
+            return new_store, new_aux, new_stats, info
+
+        gspec = P("gauss") if n_gauss > 1 else P()
+        sm = shard_map(
+            device_fn, mesh=mesh,
+            in_specs=(gspec, gspec, gspec, P()),
+            out_specs=(gspec, gspec, gspec, P()),
+            check_vma=False,
+        )
+        aux = {"mu_params": state.opt.mu, "nu_params": state.opt.nu}
+        new_store, new_aux, new_stats, info = sm(
+            state.store, aux, state.stats, key)
+        new_opt = AdamState(mu=new_aux["mu_params"], nu=new_aux["nu_params"],
+                            count=state.opt.count)
+        return state._replace(store=new_store, opt=new_opt,
+                              stats=new_stats), info
+
+    return functools.partial(
+        jax.jit, static_argnames=("max_screen_size",))(densify)
 
 
 def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):

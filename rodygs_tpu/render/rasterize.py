@@ -96,7 +96,7 @@ def _local_tile_slice(tile_starts, tile_counts, tile_axis, num_tiles):
     jax.jit,
     static_argnames=("sh_degree", "image_width", "image_height",
                      "max_fragments", "tile_axis", "fragment_profile",
-                     "binning_mode"),
+                     "binning_mode", "gauss_axis"),
 )
 def render(
     means3d: jnp.ndarray,
@@ -114,15 +114,30 @@ def render(
     means2d_offset: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
     max_fragments: int | None = None,
-    tile_axis: str | None = None,
+    tile_axis: str | tuple | None = None,
     fragment_profile: str = "lean",
     binning_mode: str = "compact",
+    gauss_axis: str | None = None,
 ):
     """Differentiable tile rasterization of N Gaussians.
 
     Args mirror the reference bridge (`renderer.py:17-36`): `means3d [N,3]`,
     `shs [N,K,3]`, activated `opacity [N]` / `scaling [N,3]`, raw quaternion
     `rotation [N,4]`, plus TPU-specific static dims and capacity args.
+
+    Sharding (inside `shard_map` only):
+      * `tile_axis`: mesh axis name (or tuple of names) over which the TILE
+        GRID is split — this device composites a contiguous tile slice and
+        outputs reassemble with a tiled all_gather.
+      * `gauss_axis`: mesh axis name over which the GAUSSIAN STORE is
+        sharded — the inputs here are this device's slice; the projected
+        Splats2D records are all-gathered over the axis (~20 rows x N f32,
+        far cheaper than raw params+SH), and the all_gather's VJP
+        (reduce-scatter) routes each shard exactly its own parameter
+        gradients. The returned radii/visibility cover the FULL gathered
+        set, ordered by shard; callers slice their local block. Combine with
+        `tile_axis=(gauss_axis, tile_name)` to also split the compositing
+        work over the gauss axis instead of replicating it.
     """
     if max_fragments is None:
         max_fragments = default_fragment_budget(
@@ -140,6 +155,15 @@ def render(
         scale = jnp.array([[0.5 * image_width], [0.5 * image_height]],
                           jnp.float32)
         splats = splats._replace(mean2d=splats.mean2d + means2d_offset / scale)
+
+    if gauss_axis is not None:
+        # Gaussian-store sharding: gather projected records, not raw params.
+        # The tiled all_gather's VJP is a psum_scatter that hands each shard
+        # the summed cotangent of exactly its own slice.
+        splats = jax.tree.map(
+            lambda x: jax.lax.all_gather(
+                x, gauss_axis, axis=x.ndim - 1, tiled=True),
+            splats)
 
     num_tiles = tiles_x * tiles_y
     if binning_mode == "compact":

@@ -198,3 +198,294 @@ class TestShardedDynamicStep:
         c_delta = float(jnp.abs(new_state.motion_coeff
                                 - dt.state.motion_coeff).max())
         assert c_delta > 0
+
+
+class TestGaussSharding:
+    """Gaussian-store sharding: params/opt/stats partitioned over the
+    "gauss" mesh axis, projected records all-gathered per render
+    (VERDICT r1 #2 / SURVEY §2.3 'Gaussian (primitive) sharding')."""
+
+    def test_gauss_sharded_render_matches_single(self, scene):
+        store, poses, views = scene
+        cam = views[0][0]
+        p = store.params
+
+        ref = render(p.xyz, G.get_features(p), G.get_opacity(p),
+                     G.get_scaling(p), p.rotation, cam, 1, W, H,
+                     alive=store.alive)
+
+        mesh = make_mesh(n_data=1, n_gauss=8, n_tile=1)
+
+        def shard_fn(xyz, feats, opac, scal, rot, alive):
+            out = render(xyz, feats, opac, scal, rot, cam, 1, W, H,
+                         alive=alive, gauss_axis="gauss")
+            return out["rendered_image"], out["rendered_depth"], out["radii"]
+
+        img, depth, radii = jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("gauss"),) * 6,
+            out_specs=(P(), P(), P()), check_vma=False))(
+            p.xyz, G.get_features(p), G.get_opacity(p),
+            G.get_scaling(p), p.rotation, store.alive)
+        np.testing.assert_allclose(np.asarray(img),
+                                   np.asarray(ref["rendered_image"]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(depth),
+                                   np.asarray(ref["rendered_depth"]),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(radii),
+                                      np.asarray(ref["radii"]))
+
+    def test_gauss_sharded_grads_match(self, scene):
+        store, poses, views = scene
+        cam, gt_img, _ = views[0]
+        p = store.params
+        gt = jnp.asarray(gt_img)
+        # gauss x tile: compositing splits over the combined axis
+        mesh = make_mesh(n_data=1, n_gauss=4, n_tile=2)
+
+        def loss_single(xyz, opac_raw):
+            out = render(xyz, G.get_features(p), jax.nn.sigmoid(opac_raw[:, 0]),
+                         G.get_scaling(p), p.rotation, cam, 1, W, H,
+                         alive=store.alive)
+            return jnp.mean((out["rendered_image"] - gt) ** 2)
+
+        g_ref = jax.grad(loss_single, argnums=(0, 1))(p.xyz, p.opacity)
+
+        def loss_sharded(xyz, opac_raw):
+            def inner(xyz, opac_raw, feats, scal, rot, alive):
+                out = render(xyz, feats, jax.nn.sigmoid(opac_raw[:, 0]),
+                             scal, rot, cam, 1, W, H, alive=alive,
+                             gauss_axis="gauss", tile_axis=("gauss", "tile"))
+                loss = jnp.mean((out["rendered_image"] - gt) ** 2)
+                # tile columns composite different tile slices; their
+                # cotangents are partial — sum param grads outside via the
+                # grad of psum? here: average the replicated loss value
+                return jax.lax.pmean(loss, ("gauss", "tile"))
+
+            return shard_map(inner, mesh=mesh,
+                             in_specs=(P("gauss"),) * 6,
+                             out_specs=P(), check_vma=False)(
+                xyz, opac_raw, G.get_features(p), G.get_scaling(p),
+                p.rotation, store.alive)
+
+        g_shard = jax.jit(jax.grad(loss_sharded, argnums=(0, 1)))(
+            p.xyz, p.opacity)
+        for a, b in zip(g_shard, g_ref):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(b).max() + 1e-10
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-4)
+
+    def test_gauss_step_matches_mean_gradient(self, scene):
+        store, poses, views = scene
+        loss = MultiLoss([LossTerm("l1", 0.8, "L1Loss"),
+                          LossTerm("d_ssim", 0.2, "SSIMLoss")])
+        cfg = StaticTrainerConfig(
+            image_width=W, image_height=H, sh_degree=1,
+            camera_rotation_lr=1e-4, camera_translation_lr=1e-4)
+        mesh = make_mesh(n_data=2, n_gauss=2, n_tile=2)
+        step = make_sharded_static_step(cfg, loss, mesh, spatial_lr_scale=3.0)
+
+        batches = []
+        for i in range(2):
+            cam, gt_img, _ = views[i % len(views)]
+            batches.append(FrameBatch(
+                gt_image=jnp.asarray(gt_img), gt_depth=None, motion_mask=None,
+                frame_idx=jnp.asarray(i % len(views), jnp.int32),
+                time=cam.time, fovx=cam.fovx, fovy=cam.fovy))
+        batch = stack_batches(batches)
+
+        state = init_static_state(store, poses)
+        rng = jax.random.key(0)
+        active = loss.active_set(1)
+        new_state, metrics = step(state, batch, rng,
+                                  jnp.asarray(1.0), active=active, sh_degree=1)
+        assert np.isfinite(float(metrics["loss"]))
+
+        from rodygs_tpu.train.trainer_static import (
+            _param_lr_tree, make_camera_from_poses)
+        from rodygs_tpu.train.optim import adam_update, adam_init
+
+        def frame_loss(params, poses_, b):
+            camera = make_camera_from_poses(poses_, b)
+            out = render(params.xyz, G.get_features(params),
+                         G.get_opacity(params),
+                         G.get_scaling(params), params.rotation, camera, 1,
+                         W, H, alive=store.alive)
+            ctx = {"pred_img": out["rendered_image"], "gt_img": b.gt_image,
+                   "alive": store.alive, "rng": rng}
+            return loss(ctx, active)[0]
+
+        grads = [jax.grad(frame_loss)(store.params, poses, b) for b in batches]
+        g_mean = jax.tree.map(lambda *xs: sum(xs) / len(xs), *grads)
+        lr_tree = _param_lr_tree(cfg, jnp.asarray(1.0), 3.0)
+        expect_params, _ = adam_update(g_mean, adam_init(store.params),
+                                       store.params, lr_tree)
+        for leaf_a, leaf_b in zip(jax.tree.leaves(new_state.store.params),
+                                  jax.tree.leaves(expect_params)):
+            a, b = np.asarray(leaf_a), np.asarray(leaf_b)
+            np.testing.assert_allclose(a, b, atol=5e-5)
+
+    def test_sharded_densify_counts_match(self, scene):
+        from rodygs_tpu.parallel.sharded import make_sharded_densify
+        from rodygs_tpu.train.densify import DensifyStats, densify_and_prune
+        from rodygs_tpu.train.trainer_static import init_static_state
+
+        store, poses, _ = scene
+        # spread alive slots over the 2 gauss shards (required init step)
+        store = G.shard_interleave(store, 2)
+        cap = G.capacity_of(store)
+        state = init_static_state(store, poses)
+        # clone-only setup (deterministic: no random split sampling): high
+        # grads on every alive gaussian, scales below percent_dense*extent
+        stats = DensifyStats(
+            grad_accum=jnp.ones((cap,)), denom=jnp.ones((cap,)),
+            max_radii2d=jnp.zeros((cap,)))
+        state = state._replace(stats=stats)
+        cfg = StaticTrainerConfig(
+            image_width=W, image_height=H, sh_degree=1,
+            densify_grad_threshold=1e-6, percent_dense=10.0)
+
+        aux = {"mu_params": state.opt.mu, "nu_params": state.opt.nu}
+        _, _, _, info_ref = densify_and_prune(
+            state.store, aux, state.stats, jax.random.key(5),
+            max_grad=cfg.densify_grad_threshold, min_opacity=0.005,
+            extent=3.0, percent_dense=cfg.percent_dense,
+            max_screen_size=None)
+
+        mesh = make_mesh(n_data=2, n_gauss=2, n_tile=2)
+        densify = make_sharded_densify(cfg, mesh, spatial_lr_scale=3.0)
+        new_state, info = densify(state, jax.random.key(5),
+                                  max_screen_size=None)
+        assert int(info.num_cloned) == int(info_ref.num_cloned)
+        assert int(info.num_split) == int(info_ref.num_split)
+        assert int(info.num_pruned) == int(info_ref.num_pruned)
+        # every clone landed (capacity half-empty in this fixture)
+        assert int(info.dropped) == 0
+        assert (int(G.num_alive(new_state.store))
+                == int(G.num_alive(state.store)) + int(info.num_cloned))
+        # moments of the cloned slots are zeroed (Adam surgery semantics)
+        newly = np.asarray(new_state.store.alive) & ~np.asarray(state.store.alive)
+        assert newly.any()
+        mu_xyz = np.asarray(new_state.opt.mu.xyz)
+        assert (mu_xyz[newly] == 0).all()
+
+    def test_dynamic_dp_step_matches_mean_gradient(self):
+        """VERDICT r1 #4: the sharded dynamic step's parameter update
+        (Gaussians + motion coefficients + basis-MLP pytree) must equal the
+        Adam update from the MEAN of per-frame gradients — same proof the
+        static DP step has."""
+        from test_dynamic import make_dynamic_scene, W as DW, H as DH
+
+        from rodygs_tpu.parallel.sharded import make_sharded_dynamic_step
+        from rodygs_tpu.train.optim import adam_update
+        from rodygs_tpu.train.trainer_dynamic import (
+            DynParams, DynTrainer, DynTrainerConfig)
+        from rodygs_tpu.train.trainer_static import make_camera_from_poses
+
+        (sm_, sc), (dm0, dc, vel), views = make_dynamic_scene(n_frames=4)
+        static_store = G.from_point_cloud(sm_, sc, sh_degree=1, capacity=128)
+        dyn_store = G.from_point_cloud(
+            dm0, dc, sh_degree=1, capacity=64,
+            times=np.zeros(len(dm0), np.float32))
+        poses = CameraPoses(
+            q_c2w=jnp.stack([v[0].q_c2w for v in views]),
+            t_c2w=jnp.stack([v[0].t_c2w for v in views]))
+        loss = MultiLoss([LossTerm("l1", 0.8, "L1Loss"),
+                          LossTerm("motion_l1", 0.01, "MotionL1Loss")])
+        cfg = DynTrainerConfig(
+            image_width=DW, image_height=DH, sh_degree=1,
+            deform_netwidth=32, deform_t_emb_multires=6, num_basis=4)
+        dt = DynTrainer(cfg, loss, dyn_store, 3.0, jax.random.key(0))
+        # seed nonzero motion coefficients so the basis MLP receives real
+        # gradient (zero coeffs => identically-zero net grads)
+        coeff = 0.01 * jax.random.normal(
+            jax.random.key(7), dt.state.motion_coeff.shape)
+        dt.state = dt.state._replace(motion_coeff=coeff)
+        mesh = make_mesh(n_data=4, n_tile=2)
+        step = make_sharded_dynamic_step(dt, cfg, loss, mesh)
+
+        batches = []
+        for i in range(4):
+            cam, gt = views[i]
+            batches.append(FrameBatch(
+                gt_image=jnp.asarray(gt), gt_depth=None, motion_mask=None,
+                frame_idx=jnp.asarray(i, jnp.int32),
+                time=cam.time, fovx=cam.fovx, fovy=cam.fovy))
+        batch = stack_batches(batches)
+
+        rng = jax.random.key(1)
+        active = loss.active_set(1)
+        new_state, metrics = step(
+            dt.state, static_store, poses, batch, rng,
+            jnp.asarray(1.0), active=active, sh_degree=1, use_deform=True)
+        assert np.isfinite(float(metrics["loss"]))
+
+        # reference: mean of per-frame grads through the same concat render
+        sp = static_store.params
+        params0 = DynParams(gauss=dt.state.store.params,
+                            motion_coeff=dt.state.motion_coeff,
+                            net=dt.state.net)
+        cd = G.capacity_of(dt.state.store)
+
+        def frame_loss(params: DynParams, b):
+            gp = params.gauss
+            transl, rot_delta = dt.deformation(
+                params, b.time, dt.state.store.time_ind)
+            xyz = jnp.concatenate([sp.xyz, gp.xyz + transl])
+            opacity = jnp.concatenate([G.get_opacity(sp), G.get_opacity(gp)])
+            scaling = jnp.concatenate(
+                [G.get_scaling(sp), G.get_scaling(gp)])
+            rotation = jnp.concatenate(
+                [G.get_rotation(sp), G.get_rotation(gp) + rot_delta])
+            features = jnp.concatenate(
+                [G.get_features(sp), G.get_features(gp)])
+            alive = jnp.concatenate([static_store.alive, dt.state.store.alive])
+            camera = make_camera_from_poses(poses, b)
+            out = render(xyz, features, opacity, scaling, rotation, camera,
+                         1, DW, DH, alive=alive)
+            ctx = {
+                "pred_img": out["rendered_image"], "gt_img": b.gt_image,
+                "motion_mask": None, "rng": rng,
+                "motion_coeff": params.motion_coeff,
+                "canon_xyz": gp.xyz,
+                "features_dc": gp.features_dc,
+                "pred_translation": transl,
+                "alive": dt.state.store.alive,
+                "motion_table": dt.motion_table(params),
+            }
+            return loss(ctx, active)[0]
+
+        grads = [jax.grad(frame_loss)(params0, b) for b in batches]
+        g_mean = jax.tree.map(lambda *xs: sum(xs) / len(xs), *grads)
+        expect_params, _ = adam_update(
+            g_mean, dt.state.opt, params0, dt.lr_tree(jnp.asarray(1.0)))
+        got = DynParams(gauss=new_state.store.params,
+                        motion_coeff=new_state.motion_coeff,
+                        net=new_state.net)
+        lr_tree = dt.lr_tree(jnp.asarray(1.0))
+        flat_a, _ = jax.tree.flatten(got)
+        flat_b, _ = jax.tree.flatten(expect_params)
+        flat_g, _ = jax.tree.flatten(g_mean)
+        flat_lr, _ = jax.tree.flatten(lr_tree)
+        assert len(flat_a) == len(flat_b) == len(flat_g) == len(flat_lr)
+        for leaf_a, leaf_b, leaf_g, leaf_lr in zip(
+                flat_a, flat_b, flat_g, flat_lr):
+            a, b = np.asarray(leaf_a), np.asarray(leaf_b)
+            g = np.abs(np.asarray(leaf_g))
+            lr = np.broadcast_to(np.asarray(leaf_lr, np.float64), a.shape)
+            # Adam with torch-parity eps=1e-15 makes the first-step update
+            # ~lr*sign(g): for |g| below the fp-noise floor (~1e-12 here,
+            # pure cancellation residue) magnitude AND sign are artifacts of
+            # which reduction order produced the noise. Compare strictly
+            # only where the gradient is real; noise-grad elements must
+            # still stay within ±lr of each other (two full opposite steps).
+            well = g > 1e-10
+            np.testing.assert_allclose(a[well], b[well], atol=5e-5)
+            assert (np.abs(a - b)[~well] <= 2.05 * lr[~well] + 5e-5).all()
+        # the motion net received real gradient (moved from init)
+        net_moved = any(
+            float(jnp.abs(a - b).max()) > 0
+            for a, b in zip(jax.tree.leaves(new_state.net),
+                            jax.tree.leaves(dt.state.net)))
+        assert net_moved
