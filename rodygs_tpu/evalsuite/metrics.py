@@ -10,8 +10,8 @@ which uses piqa + a local LPIPS. Implemented natively in jnp
   * MS-SSIM — standard 5-scale Wang et al. weights with 2x avg-pool
     downsampling (piqa-compatible).
   * LPIPS — see lpips.py: full AlexNet/VGG feature-distance implementation;
-    requires a weights file (no network egress in this environment) and
-    reports NaN when absent.
+    requires a weights file (no network egress in this environment); the
+    lpipsa/lpipsv keys are omitted when weights are absent.
 """
 
 from __future__ import annotations
@@ -117,6 +117,9 @@ class VizScoreEvaluator:
     def get_score(self, gt_image, pred_image) -> dict[str, float]:
         out = {k: float(v) for k, v in self._jit_core(
             jnp.asarray(gt_image), jnp.asarray(pred_image)).items()}
-        out["lpipsa"] = float(self._lpips_alex(gt_image, pred_image))
-        out["lpipsv"] = float(self._lpips_vgg(gt_image, pred_image))
+        # lpips keys appear only when weights are available (lpips.py)
+        if self._lpips_alex is not None:
+            out["lpipsa"] = float(self._lpips_alex(gt_image, pred_image))
+        if self._lpips_vgg is not None:
+            out["lpipsv"] = float(self._lpips_vgg(gt_image, pred_image))
         return out

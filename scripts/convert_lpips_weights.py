@@ -56,7 +56,9 @@ def main(out_path: str):
                                                 map_location="cpu")
         for i in range(5):
             w = sd[f"lin{i}.model.1.weight"].detach().numpy()
-            arrays[f"{net}/lin{i}/w"] = np.maximum(w[:, :, 0, 0][0], 0.0)
+            # raw head weights (the reference applies the 1x1 conv as-is;
+            # richzhang v0.1 weights are non-negative already)
+            arrays[f"{net}/lin{i}/w"] = w[0, :, 0, 0]
 
     np.savez(out_path, **arrays)
     print(f"wrote {out_path} with {len(arrays)} arrays")
