@@ -30,6 +30,21 @@ from .pose_metrics import PoseEvaluator
 from .pose_opt import PoseOptimizer
 
 
+def chunk_padded(seq, size: int):
+    """Split `seq` into fixed-size chunks for a once-compiled batched map.
+
+    Yields `(chunk, padded)` pairs: `chunk` is the real slice, `padded` is
+    the same slice right-padded by repeating its last element so every
+    yield has identical length (one jit compilation for the batched
+    renderer). Consumers zip results against `chunk`, discarding the
+    padding outputs.
+    """
+    b = max(1, min(size, len(seq)))
+    for c0 in range(0, len(seq), b):
+        chunk = list(seq[c0:c0 + b])
+        yield chunk, chunk + [chunk[-1]] * (b - len(chunk))
+
+
 class RoDyGSEvaluator:
     def __init__(self, dirpath, static_datamodule, dynamic_datamodule,
                  out_path, static_ckpt_path, dynamic_ckpt_path,
@@ -131,6 +146,17 @@ class RoDyGSEvaluator:
     def _render_view(self):
         return jax.jit(self._render_view_impl)
 
+    @functools.cached_property
+    def _render_views_batch(self):
+        """Batched test-view rendering: ONE jit call scans `eval_batch_size`
+        stacked cameras through the renderer (lax.map), amortizing dispatch
+        + host-sync latency that dominates the per-view loop (the reference
+        renders one view at a time with a `.cpu()` sync each,
+        `eval.py:299-316`)."""
+        def impl(cams: Camera):
+            return jax.lax.map(self._render_view_impl, cams)
+        return jax.jit(impl)
+
     def _render_rgb_for_poseopt(self, camera: Camera):
         # static-only render, as the reference's PoseOptimizer uses the
         # static model (`eval.py:414`... it calls self.model.render on the
@@ -144,10 +170,11 @@ class RoDyGSEvaluator:
 
     # --- main loop ---------------------------------------------------------
 
-    def eval(self) -> dict:
+    def eval(self, eval_batch_size: int = 8) -> dict:
         from ..render.camera import make_camera
 
-        scores: dict[str, list] = {}
+        # 1) resolve every test camera (incl. optional per-view pose opt)
+        views = []
         for idx in self.static_datamodule.get_test_sampler():
             frame = self.test_dset[idx]
             q = self.test_dset.q_c2w[idx]
@@ -161,16 +188,23 @@ class RoDyGSEvaluator:
                 gt_c2w[:3, :3] = np.asarray(quat_to_matrix(jnp.asarray(q)))
                 gt_c2w[:3, 3] = t
                 camera = self.pose_optimizer(camera, gt_c2w, frame["image"])
+            views.append((idx, frame, camera))
 
-            pred = np.asarray(self._render_view(camera))
-            gt = frame["image"]
-            score = self.viz_evaluator.get_score(gt, pred)
-            for k, v in score.items():
-                scores.setdefault(k, []).append(v)
-
-            name = f"{str(idx).zfill(5)}_{frame['image_name']}.png"
-            self.gt_storer(name, gt)
-            self.pred_storer(name, pred)
+        # 2) render in fixed-size batches (last chunk padded by repetition
+        # so lax.map compiles exactly once), score + store per view
+        scores: dict[str, list] = {}
+        for chunk, padded in chunk_padded(views, eval_batch_size):
+            cams = [v[2] for v in padded]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+            preds = np.asarray(self._render_views_batch(stacked))
+            for (idx, frame, _), pred in zip(chunk, preds):
+                gt = frame["image"]
+                score = self.viz_evaluator.get_score(gt, pred)
+                for k, v in score.items():
+                    scores.setdefault(k, []).append(v)
+                name = f"{str(idx).zfill(5)}_{frame['image_name']}.png"
+                self.gt_storer(name, gt)
+                self.pred_storer(name, pred)
 
         def _mean(vals):
             arr = np.asarray(vals, np.float64)

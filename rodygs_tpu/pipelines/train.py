@@ -102,6 +102,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from ..utils.profiling import enable_persistent_compile_cache
+    enable_persistent_compile_cache()  # resumed/restarted runs skip compiles
+
     args, overrides = parse_args(argv)
     check_argument_sanity(args)
     if args.verbose:

@@ -77,6 +77,14 @@ def next_profile(profile: str) -> str | None:
     i = PROFILE_LADDER.index(profile)
     return PROFILE_LADDER[i + 1] if i + 1 < len(PROFILE_LADDER) else None
 
+
+def escalation_poll_due(iteration: int) -> bool:
+    """Whether to host-sync the overflow flag this iteration. Early
+    training (noisy init, biggest footprints) polls every 5 iters so the
+    ladder can climb two tiers quickly; steady state polls every 25 (the
+    sync breaks async dispatch, ~30 ms)."""
+    return iteration % (5 if iteration <= 100 else 25) == 0
+
 _CONTRACT_LAST = (((1,), (1,)), ((), ()))   # contract dim1 of both operands
 _CONTRACT_FIRST = (((0,), (0,)), ((), ()))  # contract dim0 of both operands
 _CONTRACT_MID = (((1,), (0,)), ((), ()))    # a.dim1 with b.dim0 (a @ b)

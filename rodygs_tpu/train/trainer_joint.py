@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import gaussians as G
-from ..render.compact import next_profile
+from ..render.compact import escalation_poll_due, next_profile
 from ..render.rasterize import render
 from .densify import accumulate_stats
 from .optim import adam_update
@@ -173,7 +173,7 @@ class RoDyGSTrainer:
             active=active, sh_degree=self.static.active_sh_degree,
             fragment_profile=self.static.fragment_profile)
         metrics["static"] = m_static
-        if iteration % 25 == 0 and bool(m_static["overflow"]):
+        if escalation_poll_due(iteration) and bool(m_static["overflow"]):
             wider = next_profile(self.static.fragment_profile)
             if wider is not None:
                 self.static.fragment_profile = wider
@@ -201,7 +201,7 @@ class RoDyGSTrainer:
                 use_deform=use_deform,
                 fragment_profile=self.dyn_fragment_profile)
             metrics["dynamic"] = m_dyn
-            if iteration % 25 == 0 and bool(m_dyn["overflow"]):
+            if escalation_poll_due(iteration) and bool(m_dyn["overflow"]):
                 wider = next_profile(self.dyn_fragment_profile)
                 if wider is not None:
                     self.dyn_fragment_profile = wider

@@ -58,6 +58,24 @@ class StepTimer:
         }
 
 
+def enable_persistent_compile_cache(
+        path: str = "/tmp/rodygs_jax_cache",
+        min_compile_secs: float = 5.0) -> None:
+    """Persist compiled executables across process restarts.
+
+    The 1080p joint pipeline has ~8 jit variants at ~160 s of (remote)
+    compile each on the axon tunnel, and the remote-compile helper crashes
+    intermittently under back-to-back large compiles; with this cache a
+    restarted run skips straight to execution. Errors are non-fatal by
+    default (`jax_raise_persistent_cache_errors=False`), so backends whose
+    executables don't serialize simply fall back to fresh compiles.
+    """
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """xprof-compatible device trace: `with trace("/tmp/trace"): step()`."""

@@ -1,0 +1,358 @@
+"""Flagship-scale validation: full joint pipeline at 1920x1080, 240k
+Gaussians, on the real TPU chip (VERDICT r1 items #3/#8; BASELINE.json
+configs[4] minus the real dataset).
+
+Exercises in one run:
+  * static + dynamic interleaved training (the full RoDyGS iteration) at
+    Kubric-MRig scale (1920x1080, 120k static + 120k dynamic init budget
+    — `configs/train/train_kubric_mrig.yaml:42,102` scale),
+  * camera-pose optimization (reference kubric LRs),
+  * densification/pruning on both models' schedules,
+  * depth-prior losses (global+local Pearson) fed by the renderer's own
+    depth channel as a synthetic prior,
+  * fragment-profile escalation under real overflow pressure (lean ->
+    wide -> huge) with dropped-fragment accounting: the run FAILS if any
+    fragments are still being dropped at the end (silent-quality-loss
+    check),
+  * eval-style PSNR on a held-out pose.
+
+Writes FLAGSHIP_1080P.json at the repo root:
+  {steps, mpix_per_s, step_ms_median, escalations, dropped_final,
+   overflow_final_profile, psnr_holdout, psnr_train, n_alive_*, peak_hbm_gb}
+
+Usage:  python scripts/flagship_1080p.py [--iters 400] [--width 1920]
+        [--height 1080] [--n 120000] [--out FLAGSHIP_1080P.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from rodygs_tpu.utils.profiling import enable_persistent_compile_cache
+    enable_persistent_compile_cache()  # restarted runs skip ~8x160s compiles
+
+    from rodygs_tpu.models import gaussians as G
+    from rodygs_tpu.render.camera import make_camera
+    from rodygs_tpu.render.rasterize import render
+    from rodygs_tpu.train.losses import LossTerm, MultiLoss
+    from rodygs_tpu.train.optim import CameraPoses
+    from rodygs_tpu.train.trainer_dynamic import DynTrainer, DynTrainerConfig
+    from rodygs_tpu.train.trainer_joint import RoDyGSTrainer
+    from rodygs_tpu.train.trainer_static import (
+        FrameBatch, StaticTrainerConfig, ThreeDGSTrainer)
+
+    W, H = args.width, args.height
+    N = args.n
+    cap_gt = max(1024, 1 << (N - 1).bit_length())   # GT store capacity
+    cap_tr = 2 * cap_gt                             # densification headroom
+    rng = np.random.default_rng(13)
+    print(f"[flagship] scene: {W}x{H}, {N} static + {N} dynamic gaussians",
+          flush=True)
+
+    # --- ground-truth scene (trained-like footprints) ----------------------
+    sm = rng.uniform([-4.0, -2.5, 2.5], [4.0, 2.5, 9.0],
+                     size=(N, 3)).astype(np.float32)
+    s_scales = np.exp(rng.uniform(-5.2, -3.8, size=(N, 3))).astype(np.float32)
+    s_cols = rng.uniform(0.05, 0.95, size=(N, 3)).astype(np.float32)
+    dm0 = rng.uniform([-2.0, -1.5, 3.0], [2.0, 1.5, 6.0],
+                      size=(N, 3)).astype(np.float32)
+    d_scales = np.exp(rng.uniform(-5.2, -4.0, size=(N, 3))).astype(np.float32)
+    d_cols = rng.uniform(0.05, 0.95, size=(N, 3)).astype(np.float32)
+    vel = rng.uniform(-0.25, 0.25, size=(N, 3)).astype(np.float32)
+
+    n_frames = 12
+    fovx, fovy = 0.98, 0.60
+    poses_np = []
+    for ang in np.linspace(-0.18, 0.18, n_frames):
+        poses_np.append((
+            np.array([np.cos(ang / 2), 0, np.sin(ang / 2), 0], np.float32),
+            np.array([np.sin(ang) * 5.0, 0.0, 0.0], np.float32)))
+
+    def gt_store(xyz, scales, cols, times=None):
+        st = G.from_point_cloud(xyz, cols, sh_degree=3,
+                                capacity=cap_gt, times=times)
+        return st._replace(params=st.params._replace(
+            scaling=jnp.asarray(np.log(np.pad(
+                scales, ((0, cap_gt - N), (0, 0)), constant_values=1e-6)))))
+
+    print("[flagship] building GT stores (KNN init at 120k x2)...",
+          flush=True)
+    t0 = time.time()
+    gt_static = gt_store(sm, s_scales, s_cols)
+    gt_dyn0 = gt_store(dm0, d_scales, d_cols)
+    jax.block_until_ready(gt_static.params.xyz)
+    print(f"[flagship] GT stores built in {time.time() - t0:.1f}s", flush=True)
+
+    def render_gt(i=None, cam=None, t=None):
+        if cam is None:
+            t = i / (n_frames - 1)
+            q, tr = poses_np[i]
+            cam = make_camera(q, tr, fovx, fovy, time=t)
+        sp, dp = gt_static.params, gt_dyn0.params
+        dyn_xyz = dp.xyz + jnp.pad(jnp.asarray(vel * t),
+                                   ((0, cap_gt - N), (0, 0)))
+        out = render(
+            jnp.concatenate([sp.xyz, dyn_xyz]),
+            jnp.concatenate([G.get_features(sp), G.get_features(dp)]),
+            jnp.concatenate([G.get_opacity(sp), G.get_opacity(dp)]),
+            jnp.concatenate([G.get_scaling(sp), G.get_scaling(dp)]),
+            jnp.concatenate([sp.rotation, dp.rotation]),
+            cam, 3, W, H,
+            alive=jnp.concatenate([gt_static.alive, gt_dyn0.alive]),
+            fragment_profile="wide")
+        return (jnp.clip(out["rendered_image"], 0.0, 1.0),
+                out["rendered_depth"], cam)
+
+    print("[flagship] rendering GT views...", flush=True)
+    t0 = time.time()
+    gts, depths, cams = [], [], []
+    for i in range(n_frames):
+        img, dep, cam = render_gt(i=i)
+        gts.append(jax.device_put(img))
+        # synthetic depth prior: reader-convention (negated+normalized
+        # happens in the loss's pearson, which is shift/scale invariant)
+        depths.append(jax.device_put(dep))
+        cams.append(cam)
+    jax.block_until_ready(gts[-1])
+    print(f"[flagship] {n_frames} GT views in {time.time() - t0:.1f}s",
+          flush=True)
+
+    # --- training setup (reference kubric hyperparams at 1080p) ------------
+    # init cloud: GT centers + noise (MASt3R-like imperfect init). Dynamic
+    # points carry per-frame birth times like MASt3RPCDReader's per-frame
+    # PLYs; canonical init position = position at the birth time (the
+    # inverse-motion canonicalization consumer).
+    init_noise = 0.01
+    sm_init = sm + rng.normal(0, init_noise, sm.shape).astype(np.float32)
+    birth = rng.integers(0, n_frames, size=N)
+    birth_t = (birth / (n_frames - 1)).astype(np.float32)
+    dm_init = (dm0 + vel * birth_t[:, None]
+               + rng.normal(0, init_noise, dm0.shape)).astype(np.float32)
+    static_store = G.from_point_cloud(sm_init, s_cols, sh_degree=3,
+                                      capacity=cap_tr)
+    dyn_store = G.from_point_cloud(
+        dm_init, d_cols, sh_degree=3, capacity=cap_tr,
+        times=birth_t)
+
+    # Init footprints: the KNN-scale prior is calibrated for surface-like
+    # MASt3R clouds; on this random VOLUME cloud it yields absurd 100+px
+    # blobs. Use GT-like footprints inflated 2.5x instead — still ~6x the
+    # converged fragment demand, so the lean->wide(->huge) escalation path
+    # gets exercised under real overflow pressure, without the degenerate
+    # sparse-cloud regime.
+    def set_scales(store, base_scales):
+        pad = np.log(np.pad(base_scales * 2.5, ((0, cap_tr - N), (0, 0)),
+                            constant_values=1e-6)).astype(np.float32)
+        return store._replace(params=store.params._replace(
+            scaling=jnp.asarray(pad)))
+
+    static_store = set_scales(static_store, s_scales)
+    dyn_store = set_scales(dyn_store, d_scales)
+    poses = CameraPoses(
+        q_c2w=jnp.asarray(np.stack([p[0] for p in poses_np])),
+        t_c2w=jnp.asarray(np.stack([p[1] for p in poses_np])))
+
+    static_loss = MultiLoss([
+        LossTerm("d_ssim", 0.2, "SSIMLoss"),
+        LossTerm("l1", 0.8, "L1Loss"),
+        LossTerm("global_pearson_depth", 0.05, "GlobalPearsonDepthLoss"),
+        LossTerm("local_pearson_depth", 0.15, "LocalPearsonDepthLoss",
+                 params=(("box_p", 128), ("p_corr", 0.5))),
+    ])
+    dyn_loss = MultiLoss([
+        LossTerm("d_ssim", 0.2, "SSIMLoss"),
+        LossTerm("l1", 0.8, "L1Loss"),
+        LossTerm("motion_l1_reg", 0.01, "MotionL1Loss"),
+        LossTerm("motion_sparsity", 0.002, "MotionSparsityLoss"),
+        LossTerm("global_pearson_depth", 0.05, "GlobalPearsonDepthLoss"),
+        LossTerm("local_pearson_depth", 0.15, "LocalPearsonDepthLoss",
+                 params=(("box_p", 128), ("p_corr", 0.5))),
+        LossTerm("rigidity", 0.5, "RigidityLoss", freq=5,
+                 params=(("mode", ("distance_preserving", "surface")),
+                         ("K", 8))),
+        LossTerm("motion_basis_reg", 0.1, "MotionBasisRegularizaiton",
+                 params=(("transl_degree", 0), ("rot_degree", 0),
+                         ("freq_div_mode", "cum_exponential"))),
+    ])
+
+    common = dict(
+        image_width=W, image_height=H, sh_degree=3,
+        position_lr_max_steps=args.iters,
+        densification_interval=100, densify_from_iter=100,
+        densify_until_iter=args.iters,
+        densify_grad_threshold=0.0002, percent_dense=0.01,
+        camera_lr_warmup=0, camera_total_steps=args.iters)
+    s_cfg = StaticTrainerConfig(
+        camera_rotation_lr=1e-5, camera_translation_lr=1e-6, **common)
+    d_cfg = DynTrainerConfig(
+        deform_netwidth=128, deform_t_emb_multires=26, num_basis=16,
+        inverse_motion=True, deform_lr_max_steps=args.iters,
+        camera_rotation_lr=0.0, camera_translation_lr=0.0, **common)
+
+    spatial_lr_scale = 5.0
+    st = ThreeDGSTrainer(s_cfg, static_loss, static_store, poses,
+                         spatial_lr_scale)
+    dt = DynTrainer(d_cfg, dyn_loss, dyn_store, spatial_lr_scale,
+                    jax.random.key(0))
+    joint = RoDyGSTrainer(st, dt, sh_up_start_iteration=10**9)
+
+    def batch_for(i):
+        t = i / (n_frames - 1)
+        return FrameBatch(
+            gt_image=gts[i], gt_depth=depths[i], motion_mask=None,
+            frame_idx=jnp.asarray(i, jnp.int32),
+            time=jnp.asarray(t, jnp.float32),
+            fovx=jnp.asarray(fovx), fovy=jnp.asarray(fovy))
+
+    # --- train --------------------------------------------------------------
+    print(f"[flagship] training {args.iters} joint iterations...", flush=True)
+    key = jax.random.key(1)
+    escalations = []
+    window_times = []
+    t_train0 = time.time()
+    t_win = time.time()
+    win_iters = 0
+    profile_before = (st.fragment_profile, joint.dyn_fragment_profile)
+    dropped_last = (0, 0)
+    for it in range(1, args.iters + 1):
+        key, sub = jax.random.split(key)
+        i = (it - 1) % n_frames
+        # the axon remote-compile helper intermittently crashes (HTTP 500)
+        # under many large back-to-back 1080p compiles; a retry gets a
+        # fresh helper subprocess. Recovery can take minutes — back off
+        # exponentially (observed: 2x20s retries insufficient at iter 5).
+        for attempt in range(6):
+            try:
+                m = joint.train_iteration(batch_for(i), batch_for(i), it, sub)
+                break
+            except Exception as e:
+                if "remote_compile" not in str(e) or attempt == 5:
+                    raise
+                delay = 30 * (2 ** attempt)
+                print(f"[flagship] iter {it}: remote-compile failure "
+                      f"(attempt {attempt + 1}), retrying in {delay}s",
+                      flush=True)
+                time.sleep(delay)
+        win_iters += 1
+        prof = (st.fragment_profile, joint.dyn_fragment_profile)
+        if prof != profile_before:
+            escalations.append({"iter": it, "profiles": list(prof)})
+            print(f"[flagship] iter {it}: profile escalation -> {prof}",
+                  flush=True)
+            profile_before = prof
+        if it % 50 == 0 or it == args.iters:
+            jax.block_until_ready(m["static"]["loss"])
+            dt_win = time.time() - t_win
+            window_times.append(dt_win / win_iters)
+            dropped_last = (int(m["static"]["dropped"]),
+                            int(m["dynamic"]["dropped"]))
+            print(f"[flagship] iter {it}: static loss="
+                  f"{float(m['static']['loss']):.4f} dyn loss="
+                  f"{float(m['dynamic']['loss']):.4f} "
+                  f"{dt_win / win_iters * 1e3:.0f} ms/it "
+                  f"dropped={dropped_last} profiles={prof}", flush=True)
+            t_win = time.time()
+            win_iters = 0
+    train_s = time.time() - t_train0
+
+    # steady-state step time: median of the post-warmup windows
+    steady = float(np.median(window_times[1:] if len(window_times) > 2
+                             else window_times))
+    # each joint iteration renders the frame twice (static + dynamic stage)
+    mpix_s = 2 * (W * H / 1e6) / steady
+
+    # --- held-out eval ------------------------------------------------------
+    def psnr_for(cam, gt, t):
+        sp = st.state.store.params
+        dyn_params = joint.dynamic.state
+        from rodygs_tpu.train.trainer_dynamic import DynParams
+        params = DynParams(gauss=dyn_params.store.params,
+                           motion_coeff=dyn_params.motion_coeff,
+                           net=dyn_params.net)
+        transl, rot_delta = dt.deformation(
+            params, jnp.asarray(t, jnp.float32), dyn_params.store.time_ind)
+        gp = params.gauss
+        out = render(
+            jnp.concatenate([sp.xyz, gp.xyz + transl]),
+            jnp.concatenate([G.get_features(sp), G.get_features(gp)]),
+            jnp.concatenate([G.get_opacity(sp), G.get_opacity(gp)]),
+            jnp.concatenate([G.get_scaling(sp), G.get_scaling(gp)]),
+            jnp.concatenate([sp.rotation, G.get_rotation(gp) + rot_delta]),
+            cam, 3, W, H,
+            alive=jnp.concatenate([st.state.store.alive,
+                                   dyn_params.store.alive]),
+            fragment_profile=joint.dyn_fragment_profile)
+        pred = jnp.clip(out["rendered_image"], 0.0, 1.0)
+        mse = jnp.mean((pred - gt) ** 2)
+        return float(-10.0 * jnp.log10(mse)), int(out["dropped"])
+
+    # train view
+    psnr_train, dropped_tr = psnr_for(cams[0], gts[0], 0.0)
+    # held-out pose between frames 5 and 6
+    ang = 0.015
+    t_mid = 5.5 / (n_frames - 1)
+    cam_mid = make_camera(
+        np.array([np.cos(ang / 2), 0, np.sin(ang / 2), 0], np.float32),
+        np.array([np.sin(ang) * 5.0, 0, 0], np.float32), fovx, fovy,
+        time=t_mid)
+    gt_mid, _, _ = render_gt(cam=cam_mid, t=t_mid)
+    psnr_holdout, dropped_ho = psnr_for(cam_mid, gt_mid, t_mid)
+
+    mem = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        mem["peak_hbm_gb"] = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        mem["peak_hbm_gb"] = None
+
+    result = {
+        "workload": f"{W}x{H}, 2x{N} gaussians, full joint step "
+                    "(static+dynamic+densify+pose-opt, 8-term dyn loss)",
+        "steps": args.iters,
+        "step_ms_median": round(steady * 1e3, 1),
+        "mpix_per_s_fwd_bwd": round(mpix_s, 3),
+        "train_wall_s": round(train_s, 1),
+        "escalations": escalations,
+        "final_profiles": [st.fragment_profile, joint.dyn_fragment_profile],
+        "dropped_final": list(dropped_last),
+        "dropped_eval": [dropped_tr, dropped_ho],
+        "psnr_train_view": round(psnr_train, 2),
+        "psnr_holdout_view": round(psnr_holdout, 2),
+        "n_alive_static": int(G.num_alive(st.state.store)),
+        "n_alive_dynamic": int(G.num_alive(joint.dynamic.state.store)),
+        **mem,
+    }
+    print(json.dumps(result), flush=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    # silent-quality-loss check (VERDICT r1 weak #4): after escalation the
+    # pipeline must not still be dropping fragments
+    if not args.allow_drops:
+        assert dropped_last == (0, 0) and dropped_tr == 0 and dropped_ho == 0, (
+            "fragments still dropped at end of run", result)
+    print(f"[flagship] OK -> {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=400)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--n", type=int, default=120000)
+    p.add_argument("--out", default="FLAGSHIP_1080P.json")
+    p.add_argument("--allow_drops", action="store_true",
+                   help="skip the final zero-drop assertion (stress runs)")
+    main(p.parse_args())

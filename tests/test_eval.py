@@ -266,3 +266,42 @@ class TestLpipsParity:
         score = ev.get_score(img, img)
         assert "lpipsa" not in score and "lpipsv" not in score
         assert set(score) == {"psnr", "ssim", "msssim", "dssim"}
+
+
+class TestEvalBatching:
+    def test_chunk_padded_exact_multiple(self):
+        from rodygs_tpu.evalsuite.evaluator import chunk_padded
+        out = list(chunk_padded(list(range(6)), 3))
+        assert [c for c, _ in out] == [[0, 1, 2], [3, 4, 5]]
+        assert [p for _, p in out] == [[0, 1, 2], [3, 4, 5]]
+
+    def test_chunk_padded_remainder_pads_by_repetition(self):
+        from rodygs_tpu.evalsuite.evaluator import chunk_padded
+        out = list(chunk_padded(list(range(5)), 2))
+        assert [c for c, _ in out] == [[0, 1], [2, 3], [4]]
+        # padded chunks all have identical length (one jit compilation)
+        assert [p for _, p in out] == [[0, 1], [2, 3], [4, 4]]
+
+    def test_chunk_padded_batch_larger_than_seq(self):
+        from rodygs_tpu.evalsuite.evaluator import chunk_padded
+        out = list(chunk_padded([7, 8], 16))
+        assert out == [([7, 8], [7, 8])]
+
+    def test_chunk_padded_every_item_scored_once(self):
+        from rodygs_tpu.evalsuite.evaluator import chunk_padded
+        for n in (1, 2, 3, 7, 8, 9):
+            for b in (1, 2, 3, 8):
+                seen = []
+                for chunk, padded in chunk_padded(list(range(n)), b):
+                    assert len(padded) == max(1, min(b, n))
+                    seen += chunk
+                assert seen == list(range(n))
+
+
+class TestEscalationPolling:
+    def test_poll_cadence(self):
+        from rodygs_tpu.render.compact import escalation_poll_due
+        early = [i for i in range(1, 101) if escalation_poll_due(i)]
+        assert early == list(range(5, 101, 5))
+        late = [i for i in range(101, 201) if escalation_poll_due(i)]
+        assert late == [125, 150, 175, 200]
