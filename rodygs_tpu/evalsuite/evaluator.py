@@ -11,6 +11,7 @@ set, scores PSNR/SSIM/MS-SSIM/DSSIM/LPIPS, writes per-frame 16-bit PNGs and
 from __future__ import annotations
 
 import functools
+import time
 from pathlib import Path
 
 import jax
@@ -193,10 +194,13 @@ class RoDyGSEvaluator:
         # 2) render in fixed-size batches (last chunk padded by repetition
         # so lax.map compiles exactly once), score + store per view
         scores: dict[str, list] = {}
+        render_s = 0.0
         for chunk, padded in chunk_padded(views, eval_batch_size):
             cams = [v[2] for v in padded]
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+            t0 = time.perf_counter()
             preds = np.asarray(self._render_views_batch(stacked))
+            render_s += time.perf_counter() - t0
             for (idx, frame, _), pred in zip(chunk, preds):
                 gt = frame["image"]
                 score = self.viz_evaluator.get_score(gt, pred)
@@ -213,6 +217,14 @@ class RoDyGSEvaluator:
             return float(np.nanmean(arr))
 
         result = {"viz": {k: _mean(v) for k, v in scores.items()}}
+        # render wall-clock (incl. the one compile) so eval throughput is
+        # always reported; the reference loops one view at a time with a
+        # host sync each (`eval.py:299-316`)
+        result["timing"] = {
+            "render_s_total": round(render_s, 3),
+            "render_s_per_view": round(render_s / max(1, len(views)), 4),
+            "eval_batch_size": int(min(eval_batch_size, max(1, len(views)))),
+        }
 
         # train-pose metrics vs GT
         calibrated = self.static_datamodule.get_train_poses()

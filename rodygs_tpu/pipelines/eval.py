@@ -23,6 +23,9 @@ def parse_args(argv=None):
     parser.add_argument("-m", "--modeldir", type=str, required=True,
                         help="run logdir containing train/ with checkpoints")
     parser.add_argument("--lpips_weights", type=str, default=None)
+    parser.add_argument("--eval_batch_size", type=int, default=8,
+                        help="test views rendered per jit call (lax.map "
+                             "batch); 1 restores the per-view loop")
     args, unknown = parser.parse_known_args(argv)
     return args, unknown
 
@@ -62,7 +65,7 @@ def main(argv=None):
         num_opts=eval_params.get("num_opts", config.get("num_opts", -1)),
         lpips_weights=args.lpips_weights,
     )
-    result = evaluator.eval()
+    result = evaluator.eval(eval_batch_size=args.eval_batch_size)
     print(result)
 
 
