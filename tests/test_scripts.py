@@ -191,3 +191,184 @@ class TestNativeOps:
         k_inv = np.linalg.inv(np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]]))
         pts = (c2w[:3, :3] @ (k_inv @ pix * depth.reshape(1, -1)) + c2w[:3, 3:4]).T
         np.testing.assert_allclose(got, pts, atol=1e-4)
+
+
+class TestNvidiaConverter:
+    def test_llff_pose_conversion_and_split(self, tmp_path):
+        from PIL import Image
+
+        import nvidia2format as conv
+
+        n_train, n_test = 6, 3
+        rng = np.random.default_rng(2)
+        h, w, focal = 480.0, 640.0, 500.0
+        # LLFF poses_bounds: [R|t|hwf] rows in down-right-back convention
+        poses = np.zeros((n_train, 3, 5))
+        rots = []
+        for i in range(n_train):
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            ww, x, y, z = q
+            r = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - ww * z), 2 * (x * z + ww * y)],
+                [2 * (x * y + ww * z), 1 - 2 * (x * x + z * z), 2 * (y * z - ww * x)],
+                [2 * (x * z - ww * y), 2 * (y * z + ww * x), 1 - 2 * (x * x + y * y)]])
+            rots.append(r)
+            poses[i, :, :3] = r
+            poses[i, :, 3] = rng.normal(size=3)
+            poses[i, :, 4] = [h, w, focal]
+        pb = np.concatenate([poses.reshape(n_train, 15),
+                             np.ones((n_train, 2))], axis=1)
+
+        train_dir = tmp_path / "nvidia" / "train"
+        (train_dir / "images_2").mkdir(parents=True)
+        np.save(train_dir / "poses_bounds.npy", pb)
+        img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+        for i in range(n_train):
+            img.save(train_dir / "images_2" / f"{i:03d}.png")
+        test_dir = tmp_path / "nvidia" / "test"
+        test_dir.mkdir()
+        for j in range(n_test):
+            img.save(test_dir / f"v{j:03d}.png")
+
+        out = tmp_path / "out"
+        conv.convert(str(train_dir), str(test_dir), str(out))
+
+        with open(out / "train_transforms.json") as f:
+            tr = json.load(f)
+        with open(out / "test_transforms.json") as f:
+            te = json.load(f)
+        assert len(tr["frames"]) == n_train and len(te["frames"]) == n_test
+        # intrinsics at the 2x downsample
+        import math
+        assert tr["camera_angle_x"] == pytest.approx(
+            math.degrees(2 * math.atan((w / 2) / (2 * (focal / 2)))))
+        # LLFF (down,right,back) -> OpenCV (right,down,front): the converted
+        # rotation's columns are [col1, col0, -col2] of the LLFF rotation
+        m0 = np.asarray(tr["frames"][0]["transform_matrix"])
+        want = np.stack([rots[0][:, 1], rots[0][:, 0], -rots[0][:, 2]], axis=1)
+        np.testing.assert_allclose(m0[:3, :3], want, atol=1e-12)
+        # the reference's `-poses[..., 2:4]` negates the TRANSLATION column
+        # along with the back axis (scripts/nvidia2format.py:52-54 of the
+        # reference) — preserved verbatim here
+        np.testing.assert_allclose(m0[:3, 3], -poses[0, :, 3], atol=1e-12)
+        # all test frames share the FIRST train camera pose (reference
+        # nvidia2format semantics: held-out viewpoint = camera 0)
+        for fr in te["frames"]:
+            np.testing.assert_allclose(
+                np.asarray(fr["transform_matrix"])[:3, :3], want, atol=1e-12)
+        # frame timing spans [0, 1)
+        times = [fr["time"] for fr in tr["frames"]]
+        np.testing.assert_allclose(times, np.arange(n_train) / n_train)
+
+
+class TestIphoneConverter:
+    def test_dycheck_split_and_orientation(self, tmp_path):
+        from PIL import Image
+
+        import iphone2format as conv
+
+        n = 17
+        rng = np.random.default_rng(3)
+        src = tmp_path / "dycheck"
+        (src / "splits").mkdir(parents=True)
+        (src / "camera").mkdir()
+        (src / "rgb" / "1x").mkdir(parents=True)
+        names = [f"0_{i:05d}" for i in range(n)]
+        with open(src / "splits" / "train.json", "w") as f:
+            json.dump({"frame_names": names}, f)
+        img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+        oris = []
+        for i, nm in enumerate(names):
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            ww, x, y, z = q
+            r = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - ww * z), 2 * (x * z + ww * y)],
+                [2 * (x * y + ww * z), 1 - 2 * (x * x + z * z), 2 * (y * z - ww * x)],
+                [2 * (x * z - ww * y), 2 * (y * z + ww * x), 1 - 2 * (x * x + y * y)]])
+            oris.append(r)
+            with open(src / "camera" / f"{nm}.json", "w") as f:
+                json.dump({"orientation": r.tolist(),
+                           "position": rng.normal(size=3).tolist(),
+                           "focal_length": 700.0}, f)
+            img.save(src / "rgb" / "1x" / f"{nm}.png")
+
+        out = tmp_path / "out"
+        conv.convert(str(src), str(out))
+
+        with open(out / "train_transforms.json") as f:
+            tr = json.load(f)
+        with open(out / "test_transforms.json") as f:
+            te = json.load(f)
+        # every 8th frame offset 4 goes to test (reference iphone2format)
+        test_idx = [i for i in range(n) if (i + 4) % 8 == 0]
+        assert len(te["frames"]) == len(test_idx)
+        assert len(tr["frames"]) == n - len(test_idx)
+        # c2w rotation = inverse(orientation) (DyCheck stores w2c orientation)
+        m = np.asarray(te["frames"][0]["transform_matrix"])
+        np.testing.assert_allclose(m[:3, :3], np.linalg.inv(oris[test_idx[0]]),
+                                   atol=1e-10)
+        # times use the ORIGINAL frame index, not the per-split counter
+        np.testing.assert_allclose(
+            [fr["time"] for fr in te["frames"]],
+            [i / n for i in test_idx])
+
+
+class TestTnTConverter:
+    def _write_colmap_model(self, sparse_dir, images, width, height, focal):
+        import struct
+
+        with open(sparse_dir / "cameras.bin", "wb") as f:
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<iiQQ", 1, 0, width, height))  # SIMPLE_PINHOLE
+            f.write(struct.pack("<ddd", focal, width / 2, height / 2))
+        with open(sparse_dir / "images.bin", "wb") as f:
+            f.write(struct.pack("<Q", len(images)))
+            for iid, (name, qvec, tvec) in enumerate(images, start=1):
+                f.write(struct.pack("<idddddddi", iid, *qvec, *tvec, 1))
+                f.write(name.encode() + b"\x00")
+                f.write(struct.pack("<Q", 0))  # no 2D points
+
+    def test_colmap_to_c2w_and_split(self, tmp_path):
+        from PIL import Image
+
+        import tnt2format as conv
+        from colmap_io import qvec2rotmat
+
+        n = 10
+        rng = np.random.default_rng(4)
+        src = tmp_path / "tnt"
+        sparse = src / "sparse" / "0"
+        sparse.mkdir(parents=True)
+        (src / "images").mkdir()
+        img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+        entries = []
+        for i in range(n):
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            t = rng.normal(size=3)
+            name = f"frame_{i:04d}.png"
+            entries.append((name, q, t))
+            img.save(src / "images" / name)
+        self._write_colmap_model(sparse, entries, 32, 24, 30.0)
+
+        out = tmp_path / "out"
+        conv.convert(str(src), str(out))
+
+        with open(out / "train_transforms.json") as f:
+            tr = json.load(f)
+        with open(out / "test_transforms.json") as f:
+            te = json.load(f)
+        test_idx = [i for i in range(n) if (i + 4) % 8 == 0]
+        assert len(te["frames"]) == len(test_idx)
+        assert len(tr["frames"]) == n - len(test_idx)
+        # c2w = [R^T | -R^T t] from the stored world->camera (qvec, tvec)
+        name, q, t = entries[test_idx[0]]
+        r = qvec2rotmat(q)
+        m = np.asarray(te["frames"][0]["transform_matrix"])
+        np.testing.assert_allclose(m[:3, :3], r.T, atol=1e-10)
+        np.testing.assert_allclose(m[:3, 3], -r.T @ t, atol=1e-10)
+        import math
+        assert tr["camera_angle_x"] == pytest.approx(
+            math.degrees(2 * math.atan(32 / (2 * 30.0))))
