@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Any
 
@@ -84,16 +85,27 @@ class DataReader:
         with open(os.path.join(dirpath, fname)) as f:
             contents = json.load(f)
 
-        frames, q_list, t_list = [], [], []
-        for idx, frame in enumerate(contents["frames"]):
+        # Poses/fov serially (pose readers may carry state); the IO-heavy
+        # per-frame loads (PNG decode + composite, depth/normal/mask reads)
+        # fan out over a thread pool — zlib/PIL decode releases the GIL, so
+        # a 1080p scene's eager load scales near-linearly with cores (the
+        # reference gets its IO parallelism from torch DataLoader workers).
+        q_list, t_list, fovx_list = [], [], []
+        for idx in range(len(contents["frames"])):
+            c2w = np.asarray(pose_obj.get_poses(idx), np.float32)
+            q_list.append(_matrix_to_quat_np(c2w[:3, :3]))
+            t_list.append(c2w[:3, 3])
+            fovx_list.append(float(pose_obj.get_fovx(idx)))
+
+        def load_frame(idx_frame):
+            idx, frame = idx_frame
             cam_name = os.path.join(dirpath, frame["file_path"])
             base_name = os.path.basename(frame["file_path"])
-            c2w = np.asarray(pose_obj.get_poses(idx), np.float32)
-            fovx = float(pose_obj.get_fovx(idx))
+            fovx = fovx_list[idx]
             image = _load_image_composite_black(cam_name)
             h, w = image.shape[:2]
             fovy = float(focal2fov(fov2focal(fovx, w), h))
-            frames.append({
+            return {
                 "image": image,
                 "image_name": Path(cam_name).stem,
                 "time": float(frame["time"]),
@@ -104,9 +116,12 @@ class DataReader:
                 "motion_mask": None if mask_obj is None else mask_obj(dirpath, base_name),
                 "max_depth": None,
                 "cam_idx": idx,
-            })
-            q_list.append(_matrix_to_quat_np(c2w[:3, :3]))
-            t_list.append(c2w[:3, 3])
+            }
+
+        with ThreadPoolExecutor(max_workers=min(
+                16, os.cpu_count() or 1)) as pool:
+            frames = list(pool.map(load_frame,
+                                   enumerate(contents["frames"])))
 
         self.frames = frames
         self.q_c2w = np.stack(q_list).astype(np.float32)

@@ -26,6 +26,19 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def _pin_cpu():
+    """Scene generation uses the slow-gold compositor — pure jnp, no Pallas
+    — and must not dial the TPU tunnel (this environment's sitecustomize
+    force-registers the axon backend and overrides JAX_PLATFORMS; a down
+    tunnel hangs the process). Set RODYGS_SCENE_DEVICE=tpu to opt out."""
+    import os
+
+    if os.environ.get("RODYGS_SCENE_DEVICE", "cpu") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 def make_scene_views(n_static, n_dyn, n_frames, width, height, seed=5):
     import jax.numpy as jnp
 
@@ -137,6 +150,7 @@ if __name__ == "__main__":
     parser.add_argument("--width", type=int, default=64)
     parser.add_argument("--height", type=int, default=48)
     args = parser.parse_args()
+    _pin_cpu()
     scene = make_scene_views(args.n_static, args.n_dyn, args.frames,
                              args.width, args.height)
     write_scene(args.out, scene, args.width, args.height)
