@@ -94,6 +94,11 @@ class RoDyGSEvaluator:
         self.image_width = self.test_dset.image_width
         self.image_height = self.test_dset.image_height
 
+        # fragment capacity: escalated by a probe render before the batch
+        # loop (a converged scene usually fits "lean"; 1080p may not)
+        self.fragment_profile: str | int = "lean"
+        self._batch_render_cache: dict = {}
+
         self.is_optimizable_cam = camera_lr != -1
         if self.is_optimizable_cam:
             # refined train poses come from the checkpoint's camera section
@@ -140,23 +145,47 @@ class RoDyGSEvaluator:
             camera.time)
         out = render(xyz, shs, opacity, scaling, rotation, camera,
                      self.active_sh_degree, self.image_width,
-                     self.image_height, alive=alive)
+                     self.image_height, alive=alive,
+                     fragment_profile=self.fragment_profile)
         return out["rendered_image"]
 
-    @functools.cached_property
-    def _render_view(self):
-        return jax.jit(self._render_view_impl)
-
-    @functools.cached_property
-    def _render_views_batch(self):
+    def _render_views_batch(self, cams):
         """Batched test-view rendering: ONE jit call scans `eval_batch_size`
         stacked cameras through the renderer (lax.map), amortizing dispatch
         + host-sync latency that dominates the per-view loop (the reference
         renders one view at a time with a `.cpu()` sync each,
-        `eval.py:299-316`)."""
-        def impl(cams: Camera):
-            return jax.lax.map(self._render_view_impl, cams)
-        return jax.jit(impl)
+        `eval.py:299-316`). Jits are cached per fragment profile (the
+        profile may escalate once in `_fit_fragment_profile`)."""
+        key = self.fragment_profile
+        if key not in self._batch_render_cache:
+            def impl(cams):
+                return jax.lax.map(self._render_view_impl, cams)
+            self._batch_render_cache[key] = jax.jit(impl)
+        return self._batch_render_cache[key](cams)
+
+    def _fit_fragment_profile(self, camera: Camera) -> None:
+        """Probe one view and escalate the fragment capacity until the
+        render drops nothing — silently clipped fragments would bias every
+        reported metric. One probe is enough: eval renders a CONVERGED
+        scene, whose per-view fragment demand varies far less than the 25%
+        headroom `profile_for_demand` adds."""
+        from ..render.compact import profile_for_demand
+
+        while True:
+            xyz, shs, opacity, scaling, rotation, alive = self._concat_arrays(
+                camera.time)
+            out = render(xyz, shs, opacity, scaling, rotation, camera,
+                         self.active_sh_degree, self.image_width,
+                         self.image_height, alive=alive,
+                         fragment_profile=self.fragment_profile)
+            if not bool(out["overflow"]):
+                return
+            wider = profile_for_demand(
+                xyz.shape[0], int(out["num_fragments"]),
+                self.fragment_profile)
+            if wider is None:
+                return  # at the legal maximum; drops stay visible in logs
+            self.fragment_profile = wider
 
     def _render_rgb_for_poseopt(self, camera: Camera):
         # static-only render, as the reference's PoseOptimizer uses the
@@ -191,8 +220,11 @@ class RoDyGSEvaluator:
                 camera = self.pose_optimizer(camera, gt_c2w, frame["image"])
             views.append((idx, frame, camera))
 
-        # 2) render in fixed-size batches (last chunk padded by repetition
-        # so lax.map compiles exactly once), score + store per view
+        # 2) size the fragment capacity off a probe view, then render in
+        # fixed-size batches (last chunk padded by repetition so lax.map
+        # compiles exactly once), score + store per view
+        if views:
+            self._fit_fragment_profile(views[0][2])
         scores: dict[str, list] = {}
         render_s = 0.0
         for chunk, padded in chunk_padded(views, eval_batch_size):

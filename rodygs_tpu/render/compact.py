@@ -70,12 +70,37 @@ _OFF_PAD = 2.0e7          # > any valid off (C < 2^24); f32-exact window compare
 # capacity multipliers (x gaussian capacity); trainers escalate on overflow
 FRAGMENT_PROFILES = {"lean": 6, "wide": 12, "huge": 24}
 PROFILE_LADDER = ("lean", "wide", "huge")
+# fragment indices ride the kernels as f32; they must stay integer-exact
+MAX_FRAGMENT_CAPACITY = (1 << 24) - FCHUNK
 
 
 def next_profile(profile: str) -> str | None:
     """Next-wider fragment profile, or None at the top of the ladder."""
     i = PROFILE_LADDER.index(profile)
     return PROFILE_LADDER[i + 1] if i + 1 < len(PROFILE_LADDER) else None
+
+
+def profile_for_demand(n: int, demand: int, current: str | int = "lean"):
+    """Pick the capacity for an observed true fragment demand (the
+    `num_fragments` a trainer step reports when it overflows).
+
+    Returns the smallest ladder profile whose capacity covers 1.25x the
+    demand, or — beyond the ladder (big footprints at 1080p can exceed the
+    24N "huge" tier many-fold) — an explicit integer capacity from a 1.5x
+    grid, so the number of distinct re-jits stays bounded as demand grows.
+    Never shrinks below `current`; returns None when no legal growth is
+    possible (the 2^24 f32-exact-index cap — drops keep being reported)."""
+    cur_cap = fragment_capacity(n, current)
+    want = int(demand * 1.25)
+    for p in PROFILE_LADDER:
+        cap = fragment_capacity(n, p)
+        if cap >= want:
+            return p if cap > cur_cap else None
+    cap = max(fragment_capacity(n, PROFILE_LADDER[-1]), cur_cap)
+    while cap < want and cap < MAX_FRAGMENT_CAPACITY:
+        cap = min(int(cap * 1.5), MAX_FRAGMENT_CAPACITY)
+    cap = min(-(-cap // FCHUNK) * FCHUNK, MAX_FRAGMENT_CAPACITY)
+    return cap if cap > cur_cap else None
 
 
 def escalation_poll_due(iteration: int) -> bool:
@@ -157,13 +182,19 @@ def build_table(rec13: jnp.ndarray, aux_rows: jnp.ndarray) -> jnp.ndarray:
         [rec13, jax.lax.stop_gradient(aux_rows), pad], axis=0)
 
 
-def fragment_capacity(n: int, profile: str) -> int:
-    c = FRAGMENT_PROFILES[profile] * n
-    c = -(-c // FCHUNK) * FCHUNK
-    if c >= 1 << 24:
-        raise ValueError("fragment capacity must stay below 2^24 "
-                         "(f32-exact fragment indices)")
-    return c
+def fragment_capacity(n: int, profile: str | int) -> int:
+    """Capacity for a ladder profile name, or an explicit integer capacity
+    (as produced by `profile_for_demand`), FCHUNK-rounded and clamped to
+    the f32-exact-index maximum."""
+    if isinstance(profile, str):
+        c = FRAGMENT_PROFILES[profile] * n
+        c = -(-c // FCHUNK) * FCHUNK
+        if c >= 1 << 24:
+            raise ValueError("fragment capacity must stay below 2^24 "
+                             "(f32-exact fragment indices)")
+        return c
+    c = -(-int(profile) // FCHUNK) * FCHUNK
+    return max(FCHUNK, min(c, MAX_FRAGMENT_CAPACITY))
 
 
 def _searchsorted_right(sorted_vals: jnp.ndarray, queries: jnp.ndarray,

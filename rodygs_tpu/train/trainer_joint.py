@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import gaussians as G
-from ..render.compact import escalation_poll_due, next_profile
+from ..render.compact import escalation_poll_due, profile_for_demand
 from ..render.rasterize import render
 from .densify import accumulate_stats
 from .optim import adam_update
@@ -125,6 +125,7 @@ class RoDyGSTrainer:
                 "loss_dict": loss_dict,
                 "overflow": out["overflow"],
                 "dropped": out["dropped"],
+                "num_fragments": out["num_fragments"],
             }
             return total, aux
 
@@ -149,7 +150,9 @@ class RoDyGSTrainer:
             stats=new_stats,
         )
         metrics = {"loss": total, "overflow": aux["overflow"],
-                   "dropped": aux["dropped"], **aux["loss_dict"]}
+                   "dropped": aux["dropped"],
+                   "num_fragments": aux["num_fragments"],
+                   **aux["loss_dict"]}
         return new_state, metrics
 
     # --- host loop ---------------------------------------------------------
@@ -174,7 +177,10 @@ class RoDyGSTrainer:
             fragment_profile=self.static.fragment_profile)
         metrics["static"] = m_static
         if escalation_poll_due(iteration) and bool(m_static["overflow"]):
-            wider = next_profile(self.static.fragment_profile)
+            wider = profile_for_demand(
+                G.capacity_of(self.static.state.store),
+                int(m_static["num_fragments"]),
+                self.static.fragment_profile)
             if wider is not None:
                 self.static.fragment_profile = wider
 
@@ -202,7 +208,12 @@ class RoDyGSTrainer:
                 fragment_profile=self.dyn_fragment_profile)
             metrics["dynamic"] = m_dyn
             if escalation_poll_due(iteration) and bool(m_dyn["overflow"]):
-                wider = next_profile(self.dyn_fragment_profile)
+                # the dynamic stage renders the CONCATENATED static+dynamic
+                # set; capacity is sized against the combined store
+                wider = profile_for_demand(
+                    G.capacity_of(self.static.state.store)
+                    + G.capacity_of(self.dynamic.state.store),
+                    int(m_dyn["num_fragments"]), self.dyn_fragment_profile)
                 if wider is not None:
                     self.dyn_fragment_profile = wider
             info = self.dynamic.maybe_densify(

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..models import gaussians as G
 from ..ops.schedules import expon_lr
 from ..render.camera import Camera
-from ..render.compact import escalation_poll_due, next_profile
+from ..render.compact import escalation_poll_due, profile_for_demand
 from ..render.rasterize import render
 from .densify import DensifyStats, accumulate_stats, densify_and_prune, init_stats, reset_opacity
 from .losses import MultiLoss
@@ -196,6 +196,7 @@ class ThreeDGSTrainer:
                 "loss_dict": loss_dict,
                 "overflow": out["overflow"],
                 "dropped": out["dropped"],
+                "num_fragments": out["num_fragments"],
             }
             return total, aux
 
@@ -227,7 +228,9 @@ class ThreeDGSTrainer:
             cam_opt=new_cam_opt,
         )
         metrics = {"loss": total, "overflow": aux["overflow"],
-                   "dropped": aux["dropped"], **aux["loss_dict"]}
+                   "dropped": aux["dropped"],
+                   "num_fragments": aux["num_fragments"],
+                   **aux["loss_dict"]}
         return new_state, metrics
 
     def _densify_impl(self, state: StaticTrainState, key,
@@ -268,12 +271,16 @@ class ThreeDGSTrainer:
             active=active, sh_degree=self.active_sh_degree,
             fragment_profile=self.fragment_profile)
         # Overflow escalation: polls the flag every 5 iters early / 25 at
-        # steady state (the host sync breaks async dispatch, ~30ms).
-        # Climbs the lean->wide->huge ladder (one re-jit per stage); at the
-        # top, dropped-fragment counts keep being reported in metrics so
+        # steady state (the host sync breaks async dispatch, ~30ms). The
+        # new capacity is sized from the OBSERVED demand (one re-jit jumps
+        # straight to a fitting tier — a ladder profile, or an explicit
+        # 1.5x-grid capacity when demand exceeds the 24N "huge" tier); past
+        # the 2^24 cap, dropped-fragment counts keep being reported so
         # capacity clipping is never silent (VERDICT r1 #8).
         if escalation_poll_due(iteration) and bool(metrics["overflow"]):
-            wider = next_profile(self.fragment_profile)
+            wider = profile_for_demand(
+                G.capacity_of(self.state.store),
+                int(metrics["num_fragments"]), self.fragment_profile)
             if wider is not None:
                 self.fragment_profile = wider
 

@@ -375,10 +375,11 @@ class TestRigidityFormulas:
 
 
 class TestFragmentProfileEscalation:
-    def test_overflow_escalates_to_wide(self):
+    def test_overflow_escalates_to_fit_demand(self):
         # Huge-footprint gaussians exceed the lean tier slot budget at a
-        # 20x15-tile grid; on an iteration divisible by 25 the trainer must
-        # re-jit with the "wide" profile and keep producing finite losses.
+        # 20x15-tile grid; on an escalation-poll iteration the trainer must
+        # re-jit with a capacity that FITS the observed demand (ladder
+        # profile or explicit integer) and keep producing finite losses.
         W2, H2 = 320, 240
         (gt_means, gt_cols), views = make_gt_scene(n=60)
         store = G.from_point_cloud(gt_means, gt_cols, sh_degree=1, capacity=256)
@@ -400,9 +401,70 @@ class TestFragmentProfileEscalation:
             gt_image=jnp.asarray(gt_img), gt_depth=None, motion_mask=None,
             frame_idx=jnp.asarray(0, jnp.int32),
             time=cam.time, fovx=cam.fovx, fovy=cam.fovy)
-        # escalation only checked on iterations % 25 == 0
-        trainer.train_iteration(batch, 25, jax.random.key(0))
-        assert trainer.fragment_profile == "wide"
-        # and the wide step still runs
+        # escalation polled every 5 iters in the early phase
+        m0 = trainer.train_iteration(batch, 25, jax.random.key(0))
+        assert trainer.fragment_profile != "lean"
+        # demand-driven: the chosen tier covers the observed demand with
+        # headroom (unless the demand exceeds even the legal maximum)
+        from rodygs_tpu.render.compact import (MAX_FRAGMENT_CAPACITY,
+                                               fragment_capacity)
+        demand = int(m0["num_fragments"])
+        cap = fragment_capacity(256, trainer.fragment_profile)
+        assert cap >= min(int(demand * 1.25), MAX_FRAGMENT_CAPACITY) or \
+            cap == MAX_FRAGMENT_CAPACITY
+        # and the escalated step still runs, without drops
         m = trainer.train_iteration(batch, 26, jax.random.key(1))
         assert np.isfinite(float(m["loss"]))
+        assert int(m["dropped"]) == 0
+
+
+class TestProfileForDemand:
+    def test_picks_smallest_fitting_ladder_tier(self):
+        from rodygs_tpu.render.compact import (fragment_capacity,
+                                               profile_for_demand)
+        n = 1000
+        # demand fitting "wide" with 1.25x headroom skips straight there
+        demand = int(fragment_capacity(n, "wide") / 1.25) - 10
+        assert profile_for_demand(n, demand, "lean") == "wide"
+        # small demand -> next tier up from current, never shrink
+        assert profile_for_demand(n, 100, "wide") is None
+
+    def test_beyond_ladder_returns_integer_capacity(self):
+        from rodygs_tpu.render.compact import (FCHUNK, fragment_capacity,
+                                               profile_for_demand)
+        n = 1000
+        huge = fragment_capacity(n, "huge")
+        demand = huge * 4
+        cap = profile_for_demand(n, demand, "huge")
+        assert isinstance(cap, int)
+        assert cap >= demand * 1.25
+        assert cap % FCHUNK == 0
+        # growth is monotone from the int tier too
+        cap2 = profile_for_demand(n, demand * 2, cap)
+        assert isinstance(cap2, int) and cap2 > cap
+
+    def test_clamped_at_f32_exact_maximum(self):
+        from rodygs_tpu.render.compact import (MAX_FRAGMENT_CAPACITY,
+                                               profile_for_demand)
+        n = 1000
+        cap = profile_for_demand(n, 10**9, "huge")
+        assert cap == MAX_FRAGMENT_CAPACITY
+        # no further growth possible -> None (drops stay reported)
+        assert profile_for_demand(n, 10**9, cap) is None
+
+    def test_render_accepts_integer_profile(self):
+        import jax.numpy as jnp2
+        from rodygs_tpu.render.rasterize import render as render2
+        from test_render import make_scene
+        means, scales, quats, opac, shs, cam = make_scene(n=80)
+        scales = jnp2.full_like(scales, 0.5)
+        out_over = render2(means, shs, opac, scales, quats, cam, 0, 64, 48,
+                           fragment_profile="lean")
+        assert bool(out_over["overflow"])
+        demand = int(out_over["num_fragments"])
+        from rodygs_tpu.render.compact import profile_for_demand
+        prof = profile_for_demand(80, demand, "lean")
+        out_fit = render2(means, shs, opac, scales, quats, cam, 0, 64, 48,
+                          fragment_profile=prof)
+        assert not bool(out_fit["overflow"])
+        assert int(out_fit["dropped"]) == 0
