@@ -96,7 +96,11 @@ def main(args):
     jax.block_until_ready(gt_static.params.xyz)
     print(f"[flagship] GT stores built in {time.time() - t0:.1f}s", flush=True)
 
+    gt_profile = ["wide"]  # escalated on demand so GT is NEVER clipped
+
     def render_gt(i=None, cam=None, t=None):
+        from rodygs_tpu.render.compact import profile_for_demand
+
         if cam is None:
             t = i / (n_frames - 1)
             q, tr = poses_np[i]
@@ -104,15 +108,23 @@ def main(args):
         sp, dp = gt_static.params, gt_dyn0.params
         dyn_xyz = dp.xyz + jnp.pad(jnp.asarray(vel * t),
                                    ((0, cap_gt - N), (0, 0)))
-        out = render(
-            jnp.concatenate([sp.xyz, dyn_xyz]),
-            jnp.concatenate([G.get_features(sp), G.get_features(dp)]),
-            jnp.concatenate([G.get_opacity(sp), G.get_opacity(dp)]),
-            jnp.concatenate([G.get_scaling(sp), G.get_scaling(dp)]),
-            jnp.concatenate([sp.rotation, dp.rotation]),
-            cam, 3, W, H,
-            alive=jnp.concatenate([gt_static.alive, gt_dyn0.alive]),
-            fragment_profile="wide")
+        while True:
+            out = render(
+                jnp.concatenate([sp.xyz, dyn_xyz]),
+                jnp.concatenate([G.get_features(sp), G.get_features(dp)]),
+                jnp.concatenate([G.get_opacity(sp), G.get_opacity(dp)]),
+                jnp.concatenate([G.get_scaling(sp), G.get_scaling(dp)]),
+                jnp.concatenate([sp.rotation, dp.rotation]),
+                cam, 3, W, H,
+                alive=jnp.concatenate([gt_static.alive, gt_dyn0.alive]),
+                fragment_profile=gt_profile[0])
+            if not bool(out["overflow"]):
+                break
+            wider = profile_for_demand(2 * cap_gt, int(out["num_fragments"]),
+                                       gt_profile[0])
+            assert wider is not None, "GT demand exceeds the capacity cap"
+            print(f"[flagship] GT render escalation -> {wider}", flush=True)
+            gt_profile[0] = wider
         return (jnp.clip(out["rendered_image"], 0.0, 1.0),
                 out["rendered_depth"], cam)
 
