@@ -72,7 +72,7 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
     comp_axis = composite_axes(n_gauss, n_tile)
 
     def step(state: StaticTrainState, batch: FrameBatch, rng, iteration,
-             active, sh_degree: int):
+             active, sh_degree: int, fragment_profile="lean"):
         def device_fn(params, alive, poses, stats, batch, rng, iteration):
             b = jax.tree.map(lambda x: x[0], batch)  # local shard: one frame
             n_local = params.xyz.shape[0]
@@ -85,7 +85,7 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
                     camera, sh_degree, cfg.image_width, cfg.image_height,
                     alive=alive, means2d_offset=offset,
                     max_fragments=cfg.max_fragments, tile_axis=comp_axis,
-                    gauss_axis=gauss_axis,
+                    gauss_axis=gauss_axis, fragment_profile=fragment_profile,
                 )
                 # radii/visibility cover the gathered set, shard-ordered:
                 # slice this shard's block for the local densify stats.
@@ -105,13 +105,20 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
                     "rng": rng,
                 }
                 total, _ = loss(ctx, active)
-                return total, (radii, visible)
+                frag = (out["overflow"], out["dropped"],
+                        out["num_fragments"])
+                return total, (radii, visible, frag)
 
             offset0 = jnp.zeros((2, n_local), jnp.float32)
-            (total, (radii, visible)), grads = jax.value_and_grad(
+            (total, (radii, visible, frag)), grads = jax.value_and_grad(
                 local_loss, argnums=(0, 1, 2), has_aux=True)(
                     params, poses, offset0)
             g_params, g_poses, g_offset = grads
+            # fragment accounting for the host escalation poll: worst frame
+            # across the data axis (binning is identical across tile rows)
+            overflow = jax.lax.pmax(frag[0].astype(jnp.int32), "data") > 0
+            dropped = jax.lax.pmax(frag[1], "data")
+            num_fragments = jax.lax.pmax(frag[2], "data")
             if tile_axis is not None:
                 # each tile column saw only its tiles' cotangents; the gauss
                 # part of the composite split was already reduced by the
@@ -139,16 +146,18 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
             g_params = jax.lax.pmean(g_params, "data")
             g_poses = jax.lax.pmean(g_poses, "data")
             total = jax.lax.pmean(total, "data")
-            return total, g_params, g_poses, stat_delta
+            return (total, g_params, g_poses, stat_delta,
+                    overflow, dropped, num_fragments)
 
         gspec = P("gauss") if gauss_axis is not None else P()
         sm = shard_map(
             device_fn, mesh=mesh,
             in_specs=(gspec, gspec, P(), gspec, P("data"), P(), P()),
-            out_specs=(P(), gspec, P(), gspec),
+            out_specs=(P(), gspec, P(), gspec, P(), P(), P()),
             check_vma=False,
         )
-        total, g_params, g_poses, stat_delta = sm(
+        (total, g_params, g_poses, stat_delta, overflow, dropped,
+         num_fragments) = sm(
             state.store.params, state.store.alive, state.poses, state.stats,
             batch, rng, iteration)
 
@@ -165,10 +174,13 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
             store=state.store._replace(params=new_params),
             opt=new_opt, stats=new_stats,
             poses=new_poses, cam_opt=new_cam_opt)
-        return new_state, {"loss": total}
+        return new_state, {"loss": total, "overflow": overflow,
+                           "dropped": dropped,
+                           "num_fragments": num_fragments}
 
     return functools.partial(
-        jax.jit, static_argnames=("active", "sh_degree"))(step)
+        jax.jit,
+        static_argnames=("active", "sh_degree", "fragment_profile"))(step)
 
 
 def make_sharded_densify(cfg: StaticTrainerConfig, mesh: Mesh,
@@ -250,7 +262,8 @@ def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
     tile_axis = "tile" if n_tile > 1 else None
 
     def step(dyn_state, static_store, poses, batch, rng, iteration,
-             active, sh_degree: int, use_deform: bool):
+             active, sh_degree: int, use_deform: bool,
+             fragment_profile="lean"):
         sp = jax.lax.stop_gradient(static_store.params)
         s_alive = static_store.alive
         cs = sp.xyz.shape[0]
@@ -285,7 +298,8 @@ def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
                     xyz, features, opacity, scaling, rotation, camera,
                     sh_degree, cfg.image_width, cfg.image_height,
                     alive=alive, means2d_offset=offset,
-                    max_fragments=cfg.max_fragments, tile_axis=tile_axis)
+                    max_fragments=cfg.max_fragments, tile_axis=tile_axis,
+                    fragment_profile=fragment_profile)
                 ctx = {
                     "pred_img": out["rendered_image"],
                     "gt_img": b.gt_image,
@@ -301,12 +315,18 @@ def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
                     "motion_table": dyn_trainer.motion_table(params),
                 }
                 total, _ = loss(ctx, active)
-                return total, (out["radii"][cs:], out["visibility_filter"][cs:])
+                frag = (out["overflow"], out["dropped"],
+                        out["num_fragments"])
+                return total, (out["radii"][cs:],
+                               out["visibility_filter"][cs:], frag)
 
             offset0 = jnp.zeros((2, cs + cd), jnp.float32)
-            (total, (radii, visible)), (g_params, g_offset) = (
+            (total, (radii, visible, frag)), (g_params, g_offset) = (
                 jax.value_and_grad(local_loss, argnums=(0, 1), has_aux=True)(
                     params, offset0))
+            overflow = jax.lax.pmax(frag[0].astype(jnp.int32), "data") > 0
+            dropped = jax.lax.pmax(frag[1], "data")
+            num_fragments = jax.lax.pmax(frag[2], "data")
             if tile_axis is not None:
                 g_params, g_offset = jax.lax.psum((g_params, g_offset), tile_axis)
                 total = jax.lax.pmean(total, tile_axis)
@@ -322,18 +342,20 @@ def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
                     lambda x: x / n_tile, jax.lax.psum(stat_delta, tile_axis))
             g_params = jax.lax.pmean(g_params, "data")
             total = jax.lax.pmean(total, "data")
-            return total, g_params, stat_delta
+            return (total, g_params, stat_delta, overflow, dropped,
+                    num_fragments)
 
         sm = shard_map(
             device_fn, mesh=mesh,
             in_specs=(P(), P(), P(), P("data"), P()),
-            out_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P()),
             check_vma=False,
         )
         params = DynParams(gauss=dyn_state.store.params,
                            motion_coeff=dyn_state.motion_coeff,
                            net=dyn_state.net)
-        total, g_params, stat_delta = sm(
+        (total, g_params, stat_delta, overflow, dropped,
+         num_fragments) = sm(
             params, dyn_state.store.alive, dyn_state.store.time_ind,
             batch, rng)
 
@@ -353,7 +375,11 @@ def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
             opt=new_opt,
             stats=new_stats,
         )
-        return new_state, {"loss": total}
+        return new_state, {"loss": total, "overflow": overflow,
+                           "dropped": dropped,
+                           "num_fragments": num_fragments}
 
     return functools.partial(
-        jax.jit, static_argnames=("active", "sh_degree", "use_deform"))(step)
+        jax.jit,
+        static_argnames=("active", "sh_degree", "use_deform",
+                         "fragment_profile"))(step)
