@@ -267,6 +267,9 @@ class RoDyGSEvaluator:
 
         with open(self.out_path / "result.yaml", "w") as f:
             yaml.dump(result, f)
+        # PNG writes are asynchronous; barrier before the video reads them
+        self.gt_storer.flush()
+        self.pred_storer.flush()
         write_video(self.out_path / "pred" / "viz",
                     self.out_path / "video.mp4")
         return result

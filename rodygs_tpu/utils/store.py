@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import glob
 import os
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import cv2
@@ -17,19 +18,39 @@ import numpy as np
 
 class RGBStorer:
     """[H, W, 3] float image in [0,1] -> 16-bit PNG (BGR on disk, like the
-    reference's cv2 path)."""
+    reference's cv2 path).
 
-    def __init__(self, path: Path):
+    Writes go through a small thread pool by default — PNG encoding (cv2
+    releases the GIL) overlaps the evaluator's render/score loop; at 1080p
+    x hundreds of views the encodes would otherwise serialize on the host.
+    Call `flush()` before reading the files back (write_video does)."""
+
+    def __init__(self, path: Path, workers: int = 4):
         self.path = Path(path)
         self.path.mkdir(parents=True, exist_ok=True)
+        self._pool = ThreadPoolExecutor(workers) if workers > 0 else None
+        self._pending = []
 
-    def __call__(self, image_name: str, image: np.ndarray) -> None:
+    def _write(self, out_path: str, image: np.ndarray) -> None:
         from .native import f32_rgb_to_u16_bgr
 
-        image = np.asarray(image)
+        cv2.imwrite(out_path, f32_rgb_to_u16_bgr(image))
+
+    def __call__(self, image_name: str, image: np.ndarray) -> None:
+        image = np.ascontiguousarray(image)
         if image.ndim != 3 or image.shape[2] != 3:
             raise ValueError(f"expected [H,W,3], got {image.shape}")
-        cv2.imwrite(str(self.path / image_name), f32_rgb_to_u16_bgr(image))
+        out = str(self.path / image_name)
+        if self._pool is None:
+            self._write(out, image)
+        else:
+            self._pending.append(self._pool.submit(self._write, out, image))
+
+    def flush(self) -> None:
+        """Wait for queued writes; re-raise the first failure."""
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()
 
 
 class AssetStorer:
@@ -43,6 +64,9 @@ class AssetStorer:
 
     def __call__(self, image_name: str, image: np.ndarray) -> None:
         self.viz_storer(image_name, image)
+
+    def flush(self) -> None:
+        self.viz_storer.flush()
 
 
 def write_video(frames_dir: Path, video_path: Path, fps: int = 30) -> None:
