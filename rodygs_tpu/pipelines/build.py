@@ -111,7 +111,7 @@ class TrainingRun:
     def __init__(self, joint: RoDyGSTrainer, static_dm: GSDataModule,
                  dynamic_dm: GSDataModule | None, num_iterations: int,
                  logdir: Path | None, log_freq: int = 50, seed: int = 777,
-                 logger=None, checkpoint_every: int = 0):
+                 logger=None, checkpoint_every: int = 0, mesh=None):
         self.joint = joint
         self.static_dm = static_dm
         self.dynamic_dm = dynamic_dm
@@ -123,6 +123,10 @@ class TrainingRun:
         # 0 = end-only (reference behavior); >0 = also save a resumable
         # snapshot every k iterations (crash recovery the reference lacks).
         self.checkpoint_every = checkpoint_every
+        # multi-device: each iteration consumes mesh.shape["data"] frames
+        # (the sharded step optimizes the mean frame loss; samplers cycle)
+        self.mesh = mesh
+        self.frames_per_iter = 1 if mesh is None else mesh.shape["data"]
 
     def _log(self, msg: str):
         if self.logger is not None:
@@ -150,13 +154,32 @@ class TrainingRun:
         dyn_dset = (self.dynamic_dm.get_train_dset()
                     if dyn_iter is not None else None)
         t0 = time.time()
+        def draw(it_, dm, dset):
+            """Next index, cycling the sampler when it bounds its length
+            (multi-frame steps consume indices faster than 1/iteration)."""
+            try:
+                return next(it_), it_
+            except StopIteration:
+                it_ = iter(dm.get_train_sampler())
+                return next(it_), it_
+
+        def draw_batch(it_, dm, dset):
+            if self.frames_per_iter == 1:
+                idx, it_ = draw(it_, dm, dset)
+                return make_frame_batch(dset[idx], idx), it_
+            from ..parallel.sharded import stack_batches
+            bs = []
+            for _ in range(self.frames_per_iter):
+                idx, it_ = draw(it_, dm, dset)
+                bs.append(make_frame_batch(dset[idx], idx))
+            return stack_batches(bs), it_
+
         for it in range(start_iter, self.num_iterations + 1):
-            sidx = next(static_iter)
-            sb = make_frame_batch(static_dset[sidx], sidx)
+            sb, static_iter = draw_batch(static_iter, self.static_dm,
+                                         static_dset)
             db = None
             if dyn_iter is not None:
-                didx = next(dyn_iter)
-                db = make_frame_batch(dyn_dset[didx], didx)
+                db, dyn_iter = draw_batch(dyn_iter, self.dynamic_dm, dyn_dset)
             key, sub = jax.random.split(key)
             metrics = self.joint.train_iteration(sb, db, it, sub)
             timer.tick()
@@ -185,7 +208,7 @@ class TrainingRun:
 def build_training_run(config: dict, dirpath: str | None = None,
                        logdir: str | Path | None = None,
                        seed: int = 777, capacity_factor: float = 4.0,
-                       logger=None) -> TrainingRun:
+                       logger=None, mesh=None) -> TrainingRun:
     """Assemble the full training job from a merged reference-style config
     (the `train.py:264-281` wiring)."""
     static_dm = instantiate_from_config(
@@ -217,7 +240,8 @@ def build_training_run(config: dict, dirpath: str | None = None,
         capacity_factor=capacity_factor)
     poses = CameraPoses(q_c2w=jnp.asarray(dset.q_c2w),
                         t_c2w=jnp.asarray(dset.t_c2w))
-    static_trainer = ThreeDGSTrainer(s_cfg, s_loss, s_store, poses, s_norm)
+    static_trainer = ThreeDGSTrainer(s_cfg, s_loss, s_store, poses, s_norm,
+                                     mesh=mesh)
 
     # --- dynamic -----------------------------------------------------------
     dyn_trainer = None
@@ -242,10 +266,10 @@ def build_training_run(config: dict, dirpath: str | None = None,
         sh_up_start_iteration=trainer_cfg.get("sh_up_start_iteration", 0),
         sh_up_period=trainer_cfg.get("sh_up_period", 1000),
         log_freq=trainer_cfg.get("log_freq", 50),
-        logdir=logdir)
+        logdir=logdir, mesh=mesh)
 
     num_iterations = static_spec["num_iterations"]
     return TrainingRun(joint, static_dm, dynamic_dm, num_iterations,
                        Path(logdir) if logdir else None,
                        log_freq=trainer_cfg.get("log_freq", 50), seed=seed,
-                       logger=logger)
+                       logger=logger, mesh=mesh)

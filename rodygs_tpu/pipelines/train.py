@@ -95,10 +95,33 @@ def parse_args(argv=None):
                         help="save a resumable snapshot every k iterations")
     parser.add_argument("--resume", action="store_true",
                         help="resume from <logdir>/resume.ckpt if present")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help='device mesh, e.g. "data=4,tile=2" or '
+                             '"data=2,gauss=2,tile=2": frame data '
+                             "parallelism x gaussian-store sharding x "
+                             "tile-space sharding. Each step consumes "
+                             "`data` frames (mean frame loss). Omit for "
+                             "single-device training.")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--verbose", action="store_true")
     args, unknown = parser.parse_known_args(argv)
     return args, unknown
+
+
+def parse_mesh_arg(spec: str):
+    """'data=2,gauss=2,tile=2' -> Mesh via parallel.mesh.make_mesh."""
+    from ..parallel.mesh import make_mesh
+
+    sizes = {"data": 1, "gauss": 1, "tile": 1}
+    for kv in spec.split(","):
+        k, _, v = kv.partition("=")
+        k = k.strip()
+        if k not in sizes or not v.strip().isdigit():
+            raise SystemExit(
+                f"--mesh: expected 'data=N[,gauss=N][,tile=N]', got {spec!r}")
+        sizes[k] = int(v)
+    return make_mesh(n_data=sizes["data"], n_tile=sizes["tile"],
+                     n_gauss=sizes["gauss"])
 
 
 def main(argv=None):
@@ -121,9 +144,12 @@ def main(argv=None):
     store_args_and_config(logdir, args, config)
     store_code(logdir)
 
+    mesh = parse_mesh_arg(args.mesh) if args.mesh else None
+    if mesh is not None:
+        logger.info(f"device mesh: {dict(mesh.shape)}")
     run = build_training_run(
         config, dirpath=args.datadir, logdir=logdir, seed=args.seed,
-        capacity_factor=args.capacity_factor, logger=logger)
+        capacity_factor=args.capacity_factor, logger=logger, mesh=mesh)
     run.checkpoint_every = args.checkpoint_every
     logger.info(f"training for {run.num_iterations} iterations")
     run.train(resume=args.resume)

@@ -39,7 +39,8 @@ class RoDyGSTrainer:
                  sh_up_start_iteration: int = 0,
                  sh_up_period: int = 1000,
                  log_freq: int = 50,
-                 logdir: str | Path | None = None):
+                 logdir: str | Path | None = None,
+                 mesh=None):
         self.static = static_trainer
         self.dynamic = dynamic_trainer
         self.skip_dynamic = dynamic_trainer is None
@@ -49,10 +50,20 @@ class RoDyGSTrainer:
         self.logdir = Path(logdir) if logdir is not None else None
         if not self.skip_dynamic:
             self.dyn_fragment_profile = "lean"
-            self._dyn_step = functools.partial(
-                jax.jit, static_argnames=("active", "sh_degree", "use_deform",
-                                          "fragment_profile")
-            )(self._dyn_step_impl)
+            if mesh is None:
+                self._dyn_step = functools.partial(
+                    jax.jit,
+                    static_argnames=("active", "sh_degree", "use_deform",
+                                     "fragment_profile")
+                )(self._dyn_step_impl)
+            else:
+                # multi-device: dynamic batches stacked over the data axis;
+                # the dynamic store stays replicated (a gauss-sharded STATIC
+                # store is all-gathered at this step's boundary — prefer
+                # data/tile mesh axes for joint runs)
+                from ..parallel.sharded import make_sharded_dynamic_step
+                self._dyn_step = make_sharded_dynamic_step(
+                    self.dynamic, self.dynamic.cfg, self.dynamic.loss, mesh)
 
     # --- dynamic step (renders concat static+dynamic, trains dynamic) ------
 

@@ -135,20 +135,35 @@ class ThreeDGSTrainer:
 
     def __init__(self, cfg: StaticTrainerConfig, loss: MultiLoss,
                  store: G.GaussianStore, poses: CameraPoses,
-                 spatial_lr_scale: float):
+                 spatial_lr_scale: float, mesh=None):
         self.cfg = cfg
         self.loss = loss
         self.spatial_lr_scale = float(spatial_lr_scale)
+        self.mesh = mesh
+        if mesh is not None and mesh.shape.get("gauss", 1) > 1:
+            # round-robin the alive slots so per-shard densification starts
+            # balanced (parallel/sharded.make_sharded_densify docstring)
+            store = G.shard_interleave(store, mesh.shape["gauss"])
         self.state = init_static_state(store, poses)
         self.active_sh_degree = 0
-        # fragment capacity preset; escalates to "wide" (one re-jit) when a
-        # step reports binning overflow (see render/binning.FRAGMENT_PROFILES)
-        self.fragment_profile = "lean"
-        self._step_fn = functools.partial(
-            jax.jit, static_argnames=("active", "sh_degree",
-                                      "fragment_profile"))(self._step_impl)
-        self._densify_fn = jax.jit(self._densify_impl,
-                                   static_argnames=("max_screen_size",))
+        # fragment capacity preset; escalated from observed demand (one
+        # re-jit per tier) when a step reports binning overflow
+        self.fragment_profile: str | int = "lean"
+        if mesh is None:
+            self._step_fn = functools.partial(
+                jax.jit, static_argnames=("active", "sh_degree",
+                                          "fragment_profile"))(self._step_impl)
+            self._densify_fn = jax.jit(self._densify_impl,
+                                       static_argnames=("max_screen_size",))
+        else:
+            # multi-device: same call signatures, batches stacked B-leading
+            # over the mesh's data axis (pipelines/build.TrainingRun stacks)
+            from ..parallel.sharded import (make_sharded_densify,
+                                            make_sharded_static_step)
+            self._step_fn = make_sharded_static_step(
+                cfg, loss, mesh, self.spatial_lr_scale)
+            self._densify_fn = make_sharded_densify(
+                cfg, mesh, self.spatial_lr_scale)
 
     # --- jitted bodies ----------------------------------------------------
 

@@ -264,3 +264,40 @@ class TestResume:
         np.testing.assert_allclose(
             np.asarray(run2.joint.dynamic.state.motion_coeff),
             np.asarray(run.joint.dynamic.state.motion_coeff))
+
+
+class TestMeshTraining:
+    def test_training_run_on_mesh(self, scene_dir, train_config):
+        """The CLI multi-device path end-to-end: build_training_run with a
+        2x2x2 (data x gauss x tile) mesh — sharded static step + sharded
+        densify + sharded dynamic step, batches stacked over the data axis,
+        sampler cycling past its bound."""
+        import jax
+        from rodygs_tpu.parallel.mesh import make_mesh
+        from rodygs_tpu.pipelines.build import build_training_run
+
+        mesh = make_mesh(n_data=2, n_tile=2, n_gauss=2)
+        run = build_training_run(dict(train_config), dirpath=str(scene_dir),
+                                 logdir=None, seed=5, capacity_factor=2.0,
+                                 mesh=mesh)
+        run.num_iterations = 4
+        assert run.frames_per_iter == 2
+        xyz0 = np.asarray(run.joint.static.state.store.params.xyz)
+        joint = run.train()
+        xyz1 = np.asarray(joint.static.state.store.params.xyz)
+        assert np.isfinite(xyz1).all()
+        assert np.abs(xyz1 - xyz0).max() > 0
+        # dynamic model trained too
+        assert joint.dynamic is not None
+        mc = np.asarray(joint.dynamic.state.motion_coeff)
+        assert np.isfinite(mc).all()
+
+    def test_mesh_cli_arg_parsing(self):
+        from rodygs_tpu.pipelines.train import parse_mesh_arg
+
+        mesh = parse_mesh_arg("data=2,gauss=2,tile=2")
+        assert dict(mesh.shape) == {"data": 2, "gauss": 2, "tile": 2}
+        mesh = parse_mesh_arg("data=8")
+        assert dict(mesh.shape) == {"data": 8, "gauss": 1, "tile": 1}
+        with pytest.raises(SystemExit):
+            parse_mesh_arg("bogus=3")
