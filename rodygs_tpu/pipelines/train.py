@@ -125,6 +125,9 @@ def parse_mesh_arg(spec: str):
 
 
 def main(argv=None):
+    from ..parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()  # no-op outside multi-host runtimes
+
     from ..utils.profiling import enable_persistent_compile_cache
     enable_persistent_compile_cache()  # resumed/restarted runs skip compiles
 

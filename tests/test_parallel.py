@@ -489,3 +489,23 @@ class TestGaussSharding:
             for a, b in zip(jax.tree.leaves(new_state.net),
                             jax.tree.leaves(dt.state.net)))
         assert net_moved
+
+
+class TestMultihostBootstrap:
+    def test_noop_outside_multihost_runtimes(self, monkeypatch):
+        from rodygs_tpu.parallel.multihost import maybe_initialize_distributed
+        for var in ("RODYGS_COORDINATOR", "TPU_WORKER_HOSTNAMES",
+                    "MEGASCALE_COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(var, raising=False)
+        assert maybe_initialize_distributed() is False
+        # a SINGLE worker hostname (some single-chip setups export one)
+        # must not trigger multi-host initialization
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+        assert maybe_initialize_distributed() is False
+
+    def test_explicit_env_requires_all_fields(self, monkeypatch):
+        from rodygs_tpu.parallel.multihost import maybe_initialize_distributed
+        monkeypatch.setenv("RODYGS_COORDINATOR", "localhost:1234")
+        monkeypatch.delenv("RODYGS_NUM_PROCESSES", raising=False)
+        with pytest.raises(KeyError):
+            maybe_initialize_distributed()
