@@ -16,6 +16,7 @@ bfloat16-friendly shapes but fp32 accumulation (model is tiny; accuracy wins).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, NamedTuple
 
@@ -78,7 +79,11 @@ def init_motion_params(key: jax.Array, cfg: MotionNetConfig) -> dict[str, Any]:
 
 
 def _act(cfg: MotionNetConfig):
-    return jax.nn.relu if cfg.activation.lower() == "relu" else jax.nn.gelu
+    if cfg.activation.lower() == "relu":
+        return jax.nn.relu
+    # exact (erf) GELU: torch's nn.GELU() default, which the reference uses
+    # — jax.nn.gelu defaults to the tanh approximation (≈3e-4 relative off)
+    return functools.partial(jax.nn.gelu, approximate=False)
 
 
 def basis_from_embedding(params: dict, cfg: MotionNetConfig,
