@@ -305,3 +305,98 @@ class TestEscalationPolling:
         assert early == list(range(5, 101, 5))
         late = [i for i in range(101, 201) if escalation_poll_due(i)]
         assert late == [125, 150, 175, 200]
+
+
+class TestPoseMetricsReferenceParity:
+    """End-to-end transliteration of the reference's pose-scoring chain
+    (`eval_utils.PoseEvaluator.get_score` -> `pose_estim_utils.py:87-142,
+    306-422`): Procrustes translation normalization, Umeyama Sim(3) from
+    est to gt applied to the estimated trajectory, ATE RMSE, consecutive
+    RPE. Written independently from the pinned formulas, loop-style like
+    the reference, and compared against evalsuite.pose_metrics."""
+
+    @staticmethod
+    def _reference_chain(gt, est):
+        import scipy.linalg as sla
+
+        gt = np.array(gt, np.float64, copy=True)
+        est = np.array(est, np.float64, copy=True)
+        # normalize_pose on translations
+        m1 = gt[:, :3, 3] - gt[:, :3, 3].mean(0)
+        m2 = est[:, :3, 3] - est[:, :3, 3].mean(0)
+        m1 /= np.linalg.norm(m1)
+        m2 /= np.linalg.norm(m2)
+        _, s_p = sla.orthogonal_procrustes(m1, m2)
+        gt[:, :3, 3] = m1
+        est[:, :3, 3] = m2 * s_p
+
+        # align_umeyama(model=gt_t, data=est_t)
+        model, data = gt[:, :3, 3], est[:, :3, 3]
+        mu_m, mu_d = model.mean(0), data.mean(0)
+        mz, dz = model - mu_m, data - mu_d
+        n = len(model)
+        C = (mz.T @ dz) / n
+        sigma2 = (dz * dz).sum() / n
+        U, D, Vt = np.linalg.svd(C)
+        V = Vt.T
+        S = np.eye(3)
+        if np.linalg.det(U) * np.linalg.det(V) < 0:
+            S[2, 2] = -1
+        R = U @ S @ V.T
+        s = np.trace(np.diag(D) @ S) / sigma2
+        t = mu_m - s * (R @ mu_d)
+
+        # align_ate_c2b_use_a2b application
+        aligned = np.tile(np.eye(4), (len(est), 1, 1))
+        for i in range(len(est)):
+            aligned[i, :3, :3] = R @ est[i, :3, :3]
+            aligned[i, :3, 3] = s * (R @ est[i, :3, 3]) + t
+
+        # compute_ATE / compute_rpe (reference loop form)
+        errors = [np.sqrt(np.sum((gt[i, :3, 3] - aligned[i, :3, 3]) ** 2))
+                  for i in range(len(aligned))]
+        ate = np.sqrt(np.mean(np.asarray(errors) ** 2))
+        trans_errors, rot_errors = [], []
+        for i in range(len(gt) - 1):
+            gt_rel = np.linalg.inv(gt[i]) @ gt[i + 1]
+            pred_rel = np.linalg.inv(aligned[i]) @ aligned[i + 1]
+            rel = np.linalg.inv(gt_rel) @ pred_rel
+            trans_errors.append(np.sqrt(rel[0, 3] ** 2 + rel[1, 3] ** 2
+                                        + rel[2, 3] ** 2))
+            d = 0.5 * (rel[0, 0] + rel[1, 1] + rel[2, 2] - 1.0)
+            rot_errors.append(np.arccos(max(min(d, 1.0), -1.0)))
+        return (ate, np.mean(trans_errors) * 100,
+                np.rad2deg(np.mean(rot_errors)))
+
+    def test_full_chain_matches(self):
+        from rodygs_tpu.evalsuite.pose_metrics import PoseEvaluator
+        from rodygs_tpu.ops.quaternion import quat_to_matrix
+
+        rng = np.random.default_rng(9)
+        f = 12
+        gt = np.tile(np.eye(4), (f, 1, 1))
+        est = np.tile(np.eye(4), (f, 1, 1))
+        for i, ang in enumerate(np.linspace(-0.4, 0.4, f)):
+            q = np.array([np.cos(ang / 2), 0.1, np.sin(ang / 2), 0.05])
+            q /= np.linalg.norm(q)
+            gt[i, :3, :3] = np.asarray(quat_to_matrix(jnp.asarray(
+                q.astype(np.float32))))
+            gt[i, :3, 3] = [np.sin(ang) * 3, np.cos(ang), ang * 2]
+            # noisy similarity-transformed estimate
+            qe = q + rng.normal(0, 0.01, 4)
+            qe /= np.linalg.norm(qe)
+            est[i, :3, :3] = np.asarray(quat_to_matrix(jnp.asarray(
+                qe.astype(np.float32))))
+            est[i, :3, 3] = 1.7 * gt[i, :3, 3] + [0.3, -0.2, 0.5] \
+                + rng.normal(0, 0.02, 3)
+
+        score = PoseEvaluator().get_score(gt, est)
+        ate, rpe_t, rpe_r = self._reference_chain(gt, est)
+        np.testing.assert_allclose(score["ATE"], ate, rtol=1e-6)
+        np.testing.assert_allclose(score["RPE_trans"], rpe_t, rtol=1e-6)
+        # both sides cast the aligned trajectory to f32 (the reference does
+        # in align_ate_c2b_use_a2b) but this oracle stays f64; arccos
+        # amplifies the cast near small relative rotations
+        np.testing.assert_allclose(score["RPE_rot"], rpe_r, rtol=1e-4)
+        # sanity: a noisy-but-aligned estimate scores small-but-nonzero
+        assert 0 < score["ATE"] < 0.1
