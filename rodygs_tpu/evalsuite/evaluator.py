@@ -146,7 +146,8 @@ class RoDyGSEvaluator:
         out = render(xyz, shs, opacity, scaling, rotation, camera,
                      self.active_sh_degree, self.image_width,
                      self.image_height, alive=alive,
-                     fragment_profile=self.fragment_profile)
+                     fragment_profile=self.fragment_profile,
+                     include_normal=False)
         return out["rendered_image"]
 
     def _render_views_batch(self, cams):
@@ -177,7 +178,8 @@ class RoDyGSEvaluator:
             out = render(xyz, shs, opacity, scaling, rotation, camera,
                          self.active_sh_degree, self.image_width,
                          self.image_height, alive=alive,
-                         fragment_profile=self.fragment_profile)
+                         fragment_profile=self.fragment_profile,
+                         include_normal=False)
             if not bool(out["overflow"]):
                 return
             wider = profile_for_demand(
@@ -195,7 +197,8 @@ class RoDyGSEvaluator:
         out = render(sp.xyz, G.get_features(sp), G.get_opacity(sp),
                      G.get_scaling(sp), G.get_rotation(sp), camera,
                      self.active_sh_degree, self.image_width,
-                     self.image_height, alive=self.static_store.alive)
+                     self.image_height, alive=self.static_store.alive,
+                     include_normal=False)
         return out["rendered_image"]
 
     # --- main loop ---------------------------------------------------------

@@ -86,6 +86,7 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
                     alive=alive, means2d_offset=offset,
                     max_fragments=cfg.max_fragments, tile_axis=comp_axis,
                     gauss_axis=gauss_axis, fragment_profile=fragment_profile,
+                    include_normal=loss.uses_normal,
                 )
                 # radii/visibility cover the gathered set, shard-ordered:
                 # slice this shard's block for the local densify stats.
@@ -299,7 +300,8 @@ def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
                     sh_degree, cfg.image_width, cfg.image_height,
                     alive=alive, means2d_offset=offset,
                     max_fragments=cfg.max_fragments, tile_axis=tile_axis,
-                    fragment_profile=fragment_profile)
+                    fragment_profile=fragment_profile,
+                    include_normal=loss.uses_normal)
                 ctx = {
                     "pred_img": out["rendered_image"],
                     "gt_img": b.gt_image,

@@ -471,30 +471,41 @@ def segment_sum_rows(d_presort: jnp.ndarray, table: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 
+# record-row index ranges: [0:10) geometry+rgb+depth, [10:13) normal
+N_CORE_ROWS = 10
+
+
 def _sort_fragments(key, rec):
+    """Sort (key, presort-iota, rec rows). rec may be [13, C] or — when the
+    normal channel is unsupervised — [10, C]: 3 fewer sort operands (~20%
+    of the sort payload, the step's dominant cost)."""
     capacity = key.shape[0]
     iota = jnp.arange(capacity, dtype=jnp.int32)
-    ops = (key, iota) + tuple(rec[r] for r in range(NUM_REC_ROWS))
+    ops = (key, iota) + tuple(rec[r] for r in range(rec.shape[0]))
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
     presort_idx = sorted_ops[1]
-    rows = jnp.stack(sorted_ops[2:], axis=0)             # [13, C]
+    rows = jnp.stack(sorted_ops[2:], axis=0)             # [13 or 10, C]
     return presort_idx, rows
 
 
 def _stack_records(rows):
-    """[13, C] sorted rows -> [16, C] tile-kernel record layout (row 13 is
-    the constant alpha feature; rows 14/15 pad)."""
+    """Sorted rows -> [16, C] tile-kernel record layout (rows 10:13 normal —
+    zeros when the sort skipped them; row 13 the constant alpha feature;
+    rows 14/15 pad)."""
     c = rows.shape[1]
-    return jnp.concatenate([
-        rows,
+    parts = [rows]
+    if rows.shape[0] == N_CORE_ROWS:
+        parts.append(jnp.zeros((NUM_REC_ROWS - N_CORE_ROWS, c), jnp.float32))
+    return jnp.concatenate(parts + [
         jnp.ones((1, c), jnp.float32),
         jnp.zeros((2, c), jnp.float32),
     ], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def composite_compact(table, bases, f_kept, tile_starts, tile_counts,
-                      tile_id_offset, tiles_x: int, tiles_y: int):
+                      tile_id_offset, tiles_x: int, tiles_y: int,
+                      include_normal: bool = True):
     """Differentiable fragment compositing over the compact index structure.
 
     table: [NUM_TABLE_ROWS, Nw] — rows 0..12 are the differentiable record
@@ -503,18 +514,26 @@ def composite_compact(table, bases, f_kept, tile_starts, tile_counts,
     of the tile grid (tile-sharded path) with tile_id_offset the [1] global
     id of its first tile. Returns [T_local, 8, 256] tile planes
     (rasterize_tiles contract).
+
+    include_normal=False drops the 3 normal rows from the fragment sort and
+    the backward unsort (the composited normal planes come out zero, and
+    d_table normal rows are zero) — use when no loss consumes the normal
+    channel, which is true of every shipped config (the reference also
+    composites normals it never supervises).
     """
     out, _ = _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
-                            tile_id_offset, tiles_x, tiles_y)
+                            tile_id_offset, tiles_x, tiles_y, include_normal)
     return out
 
 
 def _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
-                   tile_id_offset, tiles_x, tiles_y):
+                   tile_id_offset, tiles_x, tiles_y, include_normal):
     from .tile_kernel import rasterize_fwd_impl
 
     db = depth_key_bits(tiles_x, tiles_y)
     key, rec = expand_fragments(table, bases, f_kept, tiles_x=tiles_x, db=db)
+    if not include_normal:
+        rec = rec[:N_CORE_ROWS]
     presort_idx, rows = _sort_fragments(key, rec)
     records = _stack_records(rows)
     out = rasterize_fwd_impl(records, tile_starts, tile_counts,
@@ -524,22 +543,24 @@ def _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
     return out, residuals
 
 
-def _composite_bwd(tiles_x, tiles_y, residuals, gout):
+def _composite_bwd(tiles_x, tiles_y, include_normal, residuals, gout):
     from .tile_kernel import rasterize_bwd_impl
 
     (records, presort_idx, tile_starts, tile_counts, tile_id_offset,
      table, bases, out) = residuals
     d_records = rasterize_bwd_impl(records, tile_starts, tile_counts,
                                    tile_id_offset, out, gout, tiles_x)
-    # unsort the 13 gradient rows back to presort (gaussian-grouped) order
-    ops = (presort_idx,) + tuple(d_records[r] for r in range(NUM_REC_ROWS))
+    # unsort the gradient rows back to presort (gaussian-grouped) order;
+    # without normals the 3 zero rows stay out of the sort payload
+    n_rows = NUM_REC_ROWS if include_normal else N_CORE_ROWS
+    ops = (presort_idx,) + tuple(d_records[r] for r in range(n_rows))
     unsorted = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    d_presort = jnp.stack(unsorted[1:], axis=0)          # [13, C]
+    d_presort = jnp.stack(unsorted[1:], axis=0)          # [n_rows, C]
     d_rows = segment_sum_rows(d_presort, jax.lax.stop_gradient(table),
-                              bases)                     # [13, Nw]
+                              bases)                     # [n_rows, Nw]
     d_table = jnp.concatenate([
         d_rows,
-        jnp.zeros((NUM_TABLE_ROWS - NUM_REC_ROWS, d_rows.shape[1]),
+        jnp.zeros((NUM_TABLE_ROWS - n_rows, d_rows.shape[1]),
                   jnp.float32),
     ], axis=0)
 

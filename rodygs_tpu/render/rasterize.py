@@ -96,7 +96,7 @@ def _local_tile_slice(tile_starts, tile_counts, tile_axis, num_tiles):
     jax.jit,
     static_argnames=("sh_degree", "image_width", "image_height",
                      "max_fragments", "tile_axis", "fragment_profile",
-                     "binning_mode", "gauss_axis"),
+                     "binning_mode", "gauss_axis", "include_normal"),
 )
 def render(
     means3d: jnp.ndarray,
@@ -115,9 +115,10 @@ def render(
     colors_precomp: jnp.ndarray | None = None,
     max_fragments: int | None = None,
     tile_axis: str | tuple | None = None,
-    fragment_profile: str = "lean",
+    fragment_profile: str | int = "lean",
     binning_mode: str = "compact",
     gauss_axis: str | None = None,
+    include_normal: bool = True,
 ):
     """Differentiable tile rasterization of N Gaussians.
 
@@ -187,7 +188,7 @@ def render(
         if tile_axis is None:
             tile_out = composite_compact(
                 table, cb.bases, cb.f_kept, cb.tile_starts, cb.tile_counts,
-                jnp.zeros((1,), jnp.int32), tiles_x, tiles_y)
+                jnp.zeros((1,), jnp.int32), tiles_x, tiles_y, include_normal)
         else:
             # Tile-space sharding: this device composites a contiguous slice
             # of the tile grid; outputs reassemble with a tiled all_gather
@@ -197,7 +198,7 @@ def render(
             local_out = composite_compact(
                 table, cb.bases, cb.f_kept, local_starts, local_counts,
                 jnp.reshape(t0, (1,)).astype(jnp.int32),
-                tiles_x, tiles_y)
+                tiles_x, tiles_y, include_normal)
             gathered = jax.lax.all_gather(
                 local_out, tile_axis, axis=0, tiled=True)
             tile_out = gathered[:num_tiles]
@@ -243,6 +244,11 @@ def render(
     rgb = img[:, :, 0:3]
     depth = img[:, :, 3]
     normal = img[:, :, 4:7]
+    if not include_normal:
+        # the compact path dropped the normal rows from the fragment sort;
+        # expose a structurally-zero plane so no cotangent can flow into
+        # the (absent) normal gradient rows
+        normal = jax.lax.stop_gradient(jnp.zeros_like(normal))
     alpha = img[:, :, 7]
     if bg is not None:
         rgb = rgb + (1.0 - alpha)[:, :, None] * bg[None, None, :]

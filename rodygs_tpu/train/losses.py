@@ -334,6 +334,15 @@ class MultiLoss:
     def active_set(self, iteration: int) -> tuple[bool, ...]:
         return tuple(t.is_active(iteration) for t in self.terms)
 
+    @property
+    def uses_normal(self) -> bool:
+        """Whether any term reads ctx["pred_normal"]. No registered loss
+        does (the reference composites normals it never supervises); a
+        future normal-supervision loss must add its fn_name here so the
+        renderer keeps the normal rows in the fragment sort."""
+        normal_losses: set[str] = set()
+        return any(t.fn_name in normal_losses for t in self.terms)
+
     def __call__(self, ctx: dict[str, Any], active: tuple[bool, ...]):
         total = jnp.zeros(())
         loss_dict = {}

@@ -112,6 +112,7 @@ class RoDyGSTrainer:
                 alive=alive, means2d_offset=offset,
                 max_fragments=cfg.max_fragments,
                 fragment_profile=fragment_profile,
+                include_normal=self.dynamic.loss.uses_normal,
             )
             ctx = {
                 "pred_img": out["rendered_image"],

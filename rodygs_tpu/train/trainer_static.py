@@ -182,6 +182,7 @@ class ThreeDGSTrainer:
             alive=alive, means2d_offset=offset,
             max_fragments=cfg.max_fragments,
             fragment_profile=fragment_profile,
+            include_normal=self.loss.uses_normal,
         )
         return out, camera
 

@@ -266,3 +266,39 @@ class TestCompactBinning:
         np.testing.assert_array_equal(np.asarray(cb.tile_counts), counts)
         np.testing.assert_array_equal(
             np.asarray(cb.tile_starts), np.cumsum(counts) - counts)
+
+
+class TestOptionalNormalChannel:
+    """include_normal=False drops the 3 normal rows from the fragment sort
+    and backward unsort (no shipped loss supervises normals): every other
+    channel and every gradient must be bit-identical to the full path."""
+
+    def test_outputs_and_grads_match(self):
+        means, scales, quats, opac, shs, cam = make_scene(n=200, sh_extra=True)
+        kw = dict(sh_degree=3, image_width=W, image_height=H)
+        out_full = render(means, shs, opac, scales, quats, cam, **kw)
+        out_lite = render(means, shs, opac, scales, quats, cam,
+                          include_normal=False, **kw)
+        for k in ("rendered_image", "rendered_depth", "rendered_alpha"):
+            np.testing.assert_array_equal(np.asarray(out_full[k]),
+                                          np.asarray(out_lite[k]), err_msg=k)
+        assert np.asarray(out_lite["rendered_normal"]).max() == 0.0
+        assert np.abs(np.asarray(out_full["rendered_normal"])).max() > 0
+
+        target = jnp.full((H, W, 3), 0.3)
+
+        def loss(inc, means, scales, quats, opac, shs, cam):
+            out = render(means, shs, opac, scales, quats, cam,
+                         include_normal=inc, **kw)
+            return (jnp.mean((out["rendered_image"] - target) ** 2)
+                    + 0.1 * jnp.mean(out["rendered_depth"])
+                    + 0.05 * jnp.mean(out["rendered_alpha"]))
+
+        gf = jax.grad(functools.partial(loss, True),
+                      argnums=(0, 1, 2, 3, 4, 5))(
+            means, scales, quats, opac, shs, cam)
+        gl = jax.grad(functools.partial(loss, False),
+                      argnums=(0, 1, 2, 3, 4, 5))(
+            means, scales, quats, opac, shs, cam)
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gl)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
