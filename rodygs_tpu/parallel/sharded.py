@@ -218,6 +218,7 @@ def make_sharded_densify(cfg: StaticTrainerConfig, mesh: Mesh,
                 percent_dense=cfg.percent_dense,
                 max_screen_size=max_screen_size,
                 isotropic=cfg.isotropic,
+                apply_screen_size_prune=cfg.apply_screen_size_prune,
             )
             if n_gauss > 1:
                 info = jax.lax.psum(info, "gauss")

@@ -11,10 +11,28 @@ surgery of `src/trainer/utils.py:15-95`:
   * split: screen-grad >= threshold AND max scale > percent_dense*extent
     -> two children at positions sampled from the parent Gaussian, scales
     divided by (0.8*N); the parent is pruned.
-  * prune: opacity < min_opacity, optionally screen radius > max_screen_size
-    or world size > 0.1*extent.
+  * prune: opacity < min_opacity, optionally world size > 0.1*extent.
   * opacity reset: opacity <- min(opacity, 0.01) with that leaf's Adam
     moments zeroed (`replace_tensor_to_optimizer`).
+
+Reference quirk, reproduced faithfully: `densify_and_prune` reads
+`self.max_radii2D` AFTER `densification_postfix` has zeroed it
+(`rodygs_static.py:169-180,285-300` — postfix runs inside both the clone and
+the split step), so the screen-radius prune (`big_points_vs`) never fires in
+the reference — only the world-size prune (`big_points_ws`) is live when
+`max_screen_size` is set. This is the well-known upstream 3DGS behavior the
+reference inherits. `apply_screen_size_prune=True` opts into the evidently
+intended semantics (prune Gaussians whose accumulated screen radius exceeds
+`max_screen_size`).
+
+The reference appends clones/split children BEFORE its final prune, so an
+appended entry survives iff its own inherited values pass the prune
+(opacity >= min_opacity; child max scale <= 0.1*extent when max_screen_size
+is set — appended entries have zero max_radii2D, so the screen-radius branch
+cannot hit them even under the opt-in fix). Placement here applies exactly
+that predicate analytically, and a split always frees its parent slot, so
+the end state matches the reference's exactly (up to split-sample noise) —
+verified by the numpy transliteration in tests/test_densify_ref.py.
 
 TPU-first redesign: the reference reallocates tensors and rewrites Adam state
 dicts every densification (forcing host sync + new tensor sizes). Here the
@@ -25,11 +43,6 @@ Gaussians are requested than free slots exist, the surplus is dropped and
 reported in `DensifyInfo.dropped` (the reference instead grows without bound —
 capacity pressure is surfaced to the caller, which may re-allocate a larger
 store between jit calls).
-
-Known divergence (documented): the reference prunes AFTER appending
-clones/splits, so a low-opacity high-grad Gaussian is first cloned then both
-copies pruned; here pruning masks the sources directly — the end state is the
-same except for that degenerate overlap class.
 """
 
 from __future__ import annotations
@@ -104,6 +117,7 @@ def densify_and_prune(
     percent_dense: float,
     max_screen_size: float | None,
     isotropic: bool = False,
+    apply_screen_size_prune: bool = False,
 ) -> tuple[GaussianStore, dict[str, Any], DensifyStats, DensifyInfo]:
     """One densification pass.
 
@@ -124,29 +138,46 @@ def densify_and_prune(
     opacity = get_opacity(p)
 
     high_grad = (grads >= max_grad) & alive
-    clone_mask = high_grad & (max_scale <= percent_dense * extent)
-    split_mask = high_grad & (max_scale > percent_dense * extent)
+    clone_src = high_grad & (max_scale <= percent_dense * extent)
+    split_src = high_grad & (max_scale > percent_dense * extent)
+    n_split_children = 2
+
+    # Reference order is append-then-prune: an appended clone/child survives
+    # iff its own inherited values pass the final prune. Appended entries
+    # have zero max_radii2D, so the screen-radius branch can never hit them
+    # (even under the opt-in fix) — only opacity and world size apply.
+    survives = ~(opacity < min_opacity)
+    if max_screen_size is not None:
+        child_max_scale = max_scale / (0.8 * n_split_children)
+        clone_mask = clone_src & survives & ~(max_scale > 0.1 * extent)
+        place_mask = split_src & survives & ~(child_max_scale > 0.1 * extent)
+    else:
+        clone_mask = clone_src & survives
+        place_mask = split_src & survives
 
     prune_mask = (opacity < min_opacity) & alive
     if max_screen_size is not None:
-        prune_mask = prune_mask | (
-            alive & ((stats.max_radii2d > max_screen_size)
-                     | (max_scale > 0.1 * extent)))
-    # clones/splits of pruned sources are pointless — drop them.
-    clone_mask = clone_mask & ~prune_mask
-    split_mask = split_mask & ~prune_mask
+        # World-size prune is live in the reference; the screen-radius prune
+        # is a dead path there (module docstring) — opt-in via
+        # apply_screen_size_prune.
+        prune_mask = prune_mask | (alive & (max_scale > 0.1 * extent))
+        if apply_screen_size_prune:
+            prune_mask = prune_mask | (
+                alive & (stats.max_radii2d > max_screen_size))
 
-    keep_mask = alive & ~prune_mask & ~split_mask
+    # A split ALWAYS frees its parent slot (the reference's prune_filter),
+    # whether or not the children are placed.
+    keep_mask = alive & ~prune_mask & ~split_src
     free_mask = ~keep_mask
     slot_of_rank = _rank_free_slots(free_mask)
     num_free = jnp.sum(free_mask.astype(jnp.int32))
 
     n_clone = jnp.sum(clone_mask.astype(jnp.int32))
-    # ranks: clones first, then 2 children per split.
+    # ranks: clones first, then 2 children per placed split.
     clone_rank = jnp.where(clone_mask, jnp.cumsum(clone_mask) - 1, c)
-    split_base = n_clone + 2 * (jnp.cumsum(split_mask) - 1)
-    split_rank0 = jnp.where(split_mask, split_base, c)
-    split_rank1 = jnp.where(split_mask, split_base + 1, c)
+    split_base = n_clone + 2 * (jnp.cumsum(place_mask) - 1)
+    split_rank0 = jnp.where(place_mask, split_base, c)
+    split_rank1 = jnp.where(place_mask, split_base + 1, c)
 
     def dest(rank):
         ok = rank < num_free
@@ -158,7 +189,6 @@ def densify_and_prune(
     src = jnp.arange(c, dtype=jnp.int32)
 
     # --- split child parameters -------------------------------------------
-    n_split_children = 2
     rot = quat_to_matrix(quat_normalize(p.rotation))  # [C,3,3]
     k0, k1 = jax.random.split(key)
     samp0 = jax.random.normal(k0, (c, 3)) * scaling
@@ -214,13 +244,13 @@ def densify_and_prune(
         time_ind=move(store.time_ind),
     )
 
-    requested = n_clone + 2 * jnp.sum(split_mask.astype(jnp.int32))
+    requested = n_clone + 2 * jnp.sum(place_mask.astype(jnp.int32))
     placed = (jnp.sum((ok_clone & clone_mask).astype(jnp.int32))
-              + jnp.sum((ok_s0 & split_mask).astype(jnp.int32))
-              + jnp.sum((ok_s1 & split_mask).astype(jnp.int32)))
+              + jnp.sum((ok_s0 & place_mask).astype(jnp.int32))
+              + jnp.sum((ok_s1 & place_mask).astype(jnp.int32)))
     info = DensifyInfo(
         num_cloned=n_clone,
-        num_split=jnp.sum(split_mask.astype(jnp.int32)),
+        num_split=jnp.sum(split_src.astype(jnp.int32)),
         num_pruned=jnp.sum(prune_mask.astype(jnp.int32)),
         dropped=requested - placed,
     )

@@ -157,6 +157,7 @@ class DynTrainer:
             percent_dense=cfg.percent_dense,
             max_screen_size=max_screen_size,
             isotropic=cfg.isotropic,
+            apply_screen_size_prune=cfg.apply_screen_size_prune,
         )
         new_opt = AdamState(
             mu=DynParams(gauss=new_aux["mu_params"],

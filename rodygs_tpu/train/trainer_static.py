@@ -53,6 +53,10 @@ class StaticTrainerConfig:
     densify_from_iter: int = 500
     densify_until_iter: int = 20000
     densify_grad_threshold: float = 0.0002
+    # The reference's screen-radius prune (big_points_vs) is a dead path
+    # (max_radii2D is zeroed before densify_and_prune reads it); True opts
+    # into the intended behavior. See train/densify.py module docstring.
+    apply_screen_size_prune: bool = False
     # camera optimizer (None-like lrs of 0 disable movement, not the machinery)
     camera_rotation_lr: float = 1e-5
     camera_translation_lr: float = 1e-6
@@ -264,6 +268,7 @@ class ThreeDGSTrainer:
             percent_dense=cfg.percent_dense,
             max_screen_size=max_screen_size,
             isotropic=cfg.isotropic,
+            apply_screen_size_prune=cfg.apply_screen_size_prune,
         )
         new_opt = AdamState(mu=new_aux["mu_params"], nu=new_aux["nu_params"],
                             count=state.opt.count)
