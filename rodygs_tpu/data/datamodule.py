@@ -158,6 +158,13 @@ class DataReader:
     def normalize(self, nerf_normalization: dict) -> None:
         self.t_c2w = ((self.t_c2w + nerf_normalization["translate"])
                       / nerf_normalization["radius"]).astype(np.float32)
+        # the reference also rescales per-frame depth priors
+        # (`datamodule.py:293-295`); inert for the shipped Pearson depth
+        # losses (scale-invariant) but kept for exactness
+        radius = float(nerf_normalization["radius"])
+        for f in self.frames:
+            if f.get("depth") is not None:
+                f["depth"] = f["depth"] / radius
 
 
 class LazyDataReader(DataReader):
