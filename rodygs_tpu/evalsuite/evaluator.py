@@ -59,6 +59,8 @@ class RoDyGSEvaluator:
 
         static_sd, _ = load_checkpoint(static_ckpt_path)
         self.static_store = G.from_state_dict(static_sd["model"])
+        # isotropic models store [C, 1] log-scales
+        self.static_isotropic = self.static_store.params.scaling.shape[1] == 1
         self.active_sh_degree = int(static_sd["active_sh_degree"])
         self.static_spatial_lr_scale = float(
             static_datamodule.get_normalization()["radius"])
@@ -68,6 +70,7 @@ class RoDyGSEvaluator:
         if not self.skip_dynamic:
             dynamic_sd, _ = load_checkpoint(dynamic_ckpt_path)
             self.dyn_store = G.from_state_dict(dynamic_sd["model"])
+            self.dyn_isotropic = self.dyn_store.params.scaling.shape[1] == 1
             self.motion_coeff = jnp.asarray(dynamic_sd["model"]["_motion_coeff"])
             self.net = jax.tree.map(jnp.asarray,
                                     dynamic_sd["model"]["_deform_network"])
@@ -122,7 +125,8 @@ class RoDyGSEvaluator:
         sp = self.static_store.params
         arrays = [
             sp.xyz, G.get_features(sp), G.get_opacity(sp),
-            G.get_scaling(sp), G.get_rotation(sp), self.static_store.alive,
+            G.get_scaling(sp, self.static_isotropic), G.get_rotation(sp),
+            self.static_store.alive,
         ]
         if self.skip_dynamic:
             return arrays
@@ -131,12 +135,16 @@ class RoDyGSEvaluator:
             self.net, self.net_cfg, self.motion_coeff, time,
             self.dyn_spatial_lr_scale, inverse_motion=self.inverse_motion,
             time_ind=self.dyn_store.time_ind, times_table=self.unique_times)
+        # isotropic dynamic models ignore the rotation delta (the reference
+        # gates identically, eval.py:258-266)
+        dyn_rot = (G.get_rotation(dp) if self.dyn_isotropic
+                   else G.get_rotation(dp) + rot_delta)
         return [
             jnp.concatenate([arrays[0], dp.xyz + transl]),
             jnp.concatenate([arrays[1], G.get_features(dp)]),
             jnp.concatenate([arrays[2], G.get_opacity(dp)]),
-            jnp.concatenate([arrays[3], G.get_scaling(dp)]),
-            jnp.concatenate([arrays[4], G.get_rotation(dp) + rot_delta]),
+            jnp.concatenate([arrays[3], G.get_scaling(dp, self.dyn_isotropic)]),
+            jnp.concatenate([arrays[4], dyn_rot]),
             jnp.concatenate([arrays[5], self.dyn_store.alive]),
         ]
 

@@ -468,3 +468,65 @@ class TestProfileForDemand:
                           fragment_profile=prof)
         assert not bool(out_fit["overflow"])
         assert int(out_fit["dropped"]) == 0
+
+
+class TestIsotropicTraining:
+    """Isotropic ([C, 1] log-scale) models through the full static stack:
+    init, render, densify (split keeps one scale column,
+    `rodygs_static.py:199-201`), and convergence."""
+
+    def test_isotropic_training_improves_psnr(self):
+        (gt_means, gt_cols), views = make_gt_scene()
+        rng = np.random.default_rng(0)
+        pts = gt_means + rng.normal(0, 0.05, gt_means.shape).astype(np.float32)
+        store = G.from_point_cloud(pts, gt_cols, sh_degree=1, capacity=256,
+                                   isotropic=True)
+        assert store.params.scaling.shape[1] == 1
+
+        poses = CameraPoses(
+            q_c2w=jnp.stack([v[0].q_c2w for v in views]),
+            t_c2w=jnp.stack([v[0].t_c2w for v in views]),
+        )
+        loss = MultiLoss([LossTerm("d_ssim", 0.2, "SSIMLoss"),
+                          LossTerm("l1", 0.8, "L1Loss")])
+        cfg = StaticTrainerConfig(
+            num_iterations=80, image_width=W, image_height=H,
+            sh_degree=1, isotropic=True,
+            densify_from_iter=20, densification_interval=40,
+            densify_until_iter=80, densify_grad_threshold=0.01,
+            position_lr_max_steps=80, camera_total_steps=80,
+            camera_rotation_lr=0.0, camera_translation_lr=0.0,
+        )
+        trainer = ThreeDGSTrainer(cfg, loss, store, poses,
+                                  spatial_lr_scale=3.0)
+
+        def render_psnr():
+            vals = []
+            for cam, gt_img, _ in views:
+                p = trainer.state.store.params
+                splats = preprocess(
+                    p.xyz, G.get_scaling(p, isotropic=True), p.rotation,
+                    G.get_opacity(p), G.get_features(p),
+                    trainer.active_sh_degree, cam, W, H,
+                    alive=trainer.state.store.alive)
+                out = composite_reference(splats, W, H)
+                vals.append(float(psnr(out["rendered_image"],
+                                       jnp.asarray(gt_img))))
+            return np.mean(vals)
+
+        psnr_before = render_psnr()
+        key = jax.random.key(0)
+        for it in range(1, cfg.num_iterations + 1):
+            cam, gt_img, gt_depth = views[(it - 1) % len(views)]
+            batch = FrameBatch(
+                gt_image=jnp.asarray(gt_img), gt_depth=jnp.asarray(gt_depth),
+                motion_mask=None,
+                frame_idx=jnp.asarray((it - 1) % len(views), jnp.int32),
+                time=cam.time, fovx=cam.fovx, fovy=cam.fovy)
+            key, sub = jax.random.split(key)
+            metrics = trainer.train_iteration(batch, it, sub)
+            assert np.isfinite(float(metrics["loss"]))
+        # the scale column count never changes through densify passes
+        assert trainer.state.store.params.scaling.shape[1] == 1
+        psnr_after = render_psnr()
+        assert psnr_after > psnr_before + 1.0, (psnr_before, psnr_after)
