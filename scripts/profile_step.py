@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def build_trainer():
+def build_trainer(W=512, H=512, N=100_000, profile="lean"):
     import jax.numpy as jnp
 
     from rodygs_tpu.models import gaussians as G
@@ -35,14 +35,13 @@ def build_trainer():
         FrameBatch, StaticTrainerConfig, ThreeDGSTrainer)
     import jax
 
-    W, H = 512, 512
-    N = 100_000
     rng = np.random.default_rng(7)
     pts = rng.uniform([-2.0, -2.0, 2.5], [2.0, 2.0, 7.0],
                       size=(N, 3)).astype(np.float32)
     cols = rng.uniform(0.1, 0.9, size=(N, 3)).astype(np.float32)
-    store = G.from_point_cloud(pts, cols, sh_degree=3, capacity=131072)
-    scales = np.exp(rng.uniform(-4.0, -2.6, size=(131072, 3))).astype(np.float32)
+    cap = -(-int(N * 1.31) // 4096) * 4096  # bench parity at N=100k: 131072
+    store = G.from_point_cloud(pts, cols, sh_degree=3, capacity=cap)
+    scales = np.exp(rng.uniform(-4.0, -2.6, size=(cap, 3))).astype(np.float32)
     store = store._replace(params=store.params._replace(
         scaling=jnp.asarray(np.log(scales))))
 
@@ -60,6 +59,7 @@ def build_trainer():
         densification_interval=0, densify_from_iter=10**9,
         camera_rotation_lr=1e-5, camera_translation_lr=1e-6)
     trainer = ThreeDGSTrainer(cfg, loss, store, poses, spatial_lr_scale=4.0)
+    trainer.fragment_profile = profile
 
     gts = []
     p = store.params
@@ -118,7 +118,9 @@ def parse_trace(outdir: str, min_ms: float = 0.3):
 def main(args):
     import jax
 
-    trainer, batch_for = build_trainer()
+    profile = int(args.profile) if args.profile.isdigit() else args.profile
+    trainer, batch_for = build_trainer(args.width, args.height, args.n,
+                                       profile)
     key = jax.random.key(0)
     for i in range(3):  # compile + warmup
         key, sub = jax.random.split(key)
@@ -139,4 +141,9 @@ if __name__ == "__main__":
     p.add_argument("--steps", type=int, default=15)
     p.add_argument("--outdir", default="/tmp/rodygs_trace")
     p.add_argument("--min_ms", type=float, default=0.3)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--n", type=int, default=100_000)
+    p.add_argument("--profile", default="lean",
+                   help="fragment profile (lean/wide/huge or an integer)")
     main(p.parse_args())
