@@ -25,12 +25,12 @@ import jax
 import jax.numpy as jnp
 
 from ..models import gaussians as G
-from ..render.compact import escalation_poll_due, profile_for_demand
 from ..render.rasterize import render
 from .densify import accumulate_stats
 from .optim import adam_update
 from .trainer_dynamic import DynParams, DynTrainer
-from .trainer_static import FrameBatch, ThreeDGSTrainer, make_camera_from_poses
+from .trainer_static import (EscalationPoller, FrameBatch, ThreeDGSTrainer,
+                             make_camera_from_poses)
 
 
 class RoDyGSTrainer:
@@ -50,6 +50,7 @@ class RoDyGSTrainer:
         self.logdir = Path(logdir) if logdir is not None else None
         if not self.skip_dynamic:
             self.dyn_fragment_profile = "lean"
+            self._dyn_escalation = EscalationPoller()
             if mesh is None:
                 self._dyn_step = functools.partial(
                     jax.jit,
@@ -188,13 +189,11 @@ class RoDyGSTrainer:
             active=active, sh_degree=self.static.active_sh_degree,
             fragment_profile=self.static.fragment_profile)
         metrics["static"] = m_static
-        if escalation_poll_due(iteration) and bool(m_static["overflow"]):
-            wider = profile_for_demand(
-                G.capacity_of(self.static.state.store),
-                int(m_static["num_fragments"]),
-                self.static.fragment_profile)
-            if wider is not None:
-                self.static.fragment_profile = wider
+        wider = self.static._escalation.poll(
+            iteration, m_static, G.capacity_of(self.static.state.store),
+            self.static.fragment_profile)
+        if wider is not None:
+            self.static.fragment_profile = wider
 
         # static densification on its own schedule
         cfg_s = self.static.cfg
@@ -219,15 +218,15 @@ class RoDyGSTrainer:
                 use_deform=use_deform,
                 fragment_profile=self.dyn_fragment_profile)
             metrics["dynamic"] = m_dyn
-            if escalation_poll_due(iteration) and bool(m_dyn["overflow"]):
-                # the dynamic stage renders the CONCATENATED static+dynamic
-                # set; capacity is sized against the combined store
-                wider = profile_for_demand(
-                    G.capacity_of(self.static.state.store)
-                    + G.capacity_of(self.dynamic.state.store),
-                    int(m_dyn["num_fragments"]), self.dyn_fragment_profile)
-                if wider is not None:
-                    self.dyn_fragment_profile = wider
+            # the dynamic stage renders the CONCATENATED static+dynamic
+            # set; capacity is sized against the combined store
+            wider = self._dyn_escalation.poll(
+                iteration, m_dyn,
+                G.capacity_of(self.static.state.store)
+                + G.capacity_of(self.dynamic.state.store),
+                self.dyn_fragment_profile)
+            if wider is not None:
+                self.dyn_fragment_profile = wider
             info = self.dynamic.maybe_densify(
                 iteration, jax.random.fold_in(k_dens, 1))
             if info is not None:

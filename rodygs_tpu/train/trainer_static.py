@@ -130,6 +130,40 @@ def _param_lr_tree(cfg: StaticTrainerConfig, iteration, spatial_lr_scale: float)
     )
 
 
+class EscalationPoller:
+    """Demand-driven fragment-capacity escalation with DEFERRED host reads.
+
+    On a poll iteration, acting on the just-enqueued step's overflow flag
+    would block until that step completes — flushing the async dispatch
+    pipeline (~30 ms, DESIGN.md). Instead the poller stores the metrics and
+    acts on the snapshot saved at the PREVIOUS poll: one poll interval old,
+    so its device work has long finished and the read returns immediately.
+    The first poll after init (or after an escalation, which invalidates the
+    stale snapshot) reads the current metrics synchronously, so single-poll
+    escalation still works; steady state never stalls. Worst-case detection
+    lag is two poll intervals, during which overflowing steps keep running
+    with the exact dropped-fragment count reported.
+    """
+
+    def __init__(self):
+        self._probe = None
+
+    def poll(self, iteration: int, metrics: dict, capacity: int,
+             profile: str | int):
+        """Returns the wider profile to re-jit with, or None."""
+        if not escalation_poll_due(iteration):
+            return None
+        probe = self._probe if self._probe is not None else metrics
+        self._probe = metrics
+        if not bool(probe["overflow"]):
+            return None
+        wider = profile_for_demand(
+            capacity, int(probe["num_fragments"]), profile)
+        if wider is not None:
+            self._probe = None
+        return wider
+
+
 class ThreeDGSTrainer:
     """Host-side orchestration around the jitted step.
 
@@ -153,6 +187,7 @@ class ThreeDGSTrainer:
         # fragment capacity preset; escalated from observed demand (one
         # re-jit per tier) when a step reports binning overflow
         self.fragment_profile: str | int = "lean"
+        self._escalation = EscalationPoller()
         if mesh is None:
             self._step_fn = functools.partial(
                 jax.jit, static_argnames=("active", "sh_degree",
@@ -291,19 +326,19 @@ class ThreeDGSTrainer:
             self.state, batch, rng, jnp.asarray(iteration, jnp.float32),
             active=active, sh_degree=self.active_sh_degree,
             fragment_profile=self.fragment_profile)
-        # Overflow escalation: polls the flag every 5 iters early / 25 at
-        # steady state (the host sync breaks async dispatch, ~30ms). The
-        # new capacity is sized from the OBSERVED demand (one re-jit jumps
-        # straight to a fitting tier — a ladder profile, or an explicit
-        # 1.5x-grid capacity when demand exceeds the 24N "huge" tier); past
-        # the 2^24 cap, dropped-fragment counts keep being reported so
-        # capacity clipping is never silent (VERDICT r1 #8).
-        if escalation_poll_due(iteration) and bool(metrics["overflow"]):
-            wider = profile_for_demand(
-                G.capacity_of(self.state.store),
-                int(metrics["num_fragments"]), self.fragment_profile)
-            if wider is not None:
-                self.fragment_profile = wider
+        # Overflow escalation: polls every 5 iters early / 25 at steady
+        # state, acting on the previous poll's snapshot (EscalationPoller)
+        # so the read never stalls the dispatch pipeline. The new capacity
+        # is sized from the OBSERVED demand (one re-jit jumps straight to a
+        # fitting tier — a ladder profile, or an explicit 1.5x-grid
+        # capacity when demand exceeds the 24N "huge" tier); past the 2^24
+        # cap, dropped-fragment counts keep being reported so capacity
+        # clipping is never silent (VERDICT r1 #8).
+        wider = self._escalation.poll(
+            iteration, metrics, G.capacity_of(self.state.store),
+            self.fragment_profile)
+        if wider is not None:
+            self.fragment_profile = wider
 
         cfg = self.cfg
         info = None

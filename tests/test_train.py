@@ -530,3 +530,39 @@ class TestIsotropicTraining:
         assert trainer.state.store.params.scaling.shape[1] == 1
         psnr_after = render_psnr()
         assert psnr_after > psnr_before + 1.0, (psnr_before, psnr_after)
+
+
+class TestEscalationPoller:
+    """Deferred host reads: polls act on the PREVIOUS poll's snapshot so
+    steady-state training never stalls the dispatch pipeline; the first
+    poll after init/escalation reads synchronously."""
+
+    def _m(self, overflow, demand):
+        return {"overflow": jnp.asarray(overflow),
+                "num_fragments": jnp.asarray(demand, jnp.int32)}
+
+    def test_first_poll_acts_synchronously(self):
+        from rodygs_tpu.train.trainer_static import EscalationPoller
+        p = EscalationPoller()
+        assert p.poll(25, self._m(True, 10_000), 256, "lean") is not None
+
+    def test_non_poll_iterations_do_nothing(self):
+        from rodygs_tpu.train.trainer_static import EscalationPoller
+        p = EscalationPoller()
+        assert p.poll(26, self._m(True, 10_000), 256, "lean") is None
+
+    def test_deferred_snapshot_drives_later_polls(self):
+        from rodygs_tpu.train.trainer_static import EscalationPoller
+        p = EscalationPoller()
+        # first poll: no overflow -> stores the clean snapshot
+        assert p.poll(25, self._m(False, 0), 256, "lean") is None
+        # second poll: CURRENT step overflows, but the poller acts on the
+        # previous (clean) snapshot -> no escalation yet, no stale read
+        assert p.poll(50, self._m(True, 10_000), 256, "lean") is None
+        # third poll: the stored overflowing snapshot triggers escalation
+        wider = p.poll(75, self._m(False, 0), 256, "lean")
+        assert wider is not None
+        from rodygs_tpu.render.compact import fragment_capacity
+        assert fragment_capacity(256, wider) >= 12_500
+        # escalation invalidated the snapshot: the next poll reads current
+        assert p.poll(100, self._m(True, 10**6), 256, wider) is not None
