@@ -95,10 +95,13 @@ def main():
             fovx=jnp.asarray(0.9), fovy=jnp.asarray(0.9))
 
     key = jax.random.key(0)
-    # warmup/compile
-    for i in range(3):
+    # warmup/compile: long enough to cover four escalation polls (925/950/
+    # 975/1000) so the demand-fitted capacity shrink (EscalationPoller)
+    # settles — and its re-jit compiles, and the poller's post-shrink sync
+    # read happens — before the timed windows
+    for i in range(95):
         key, sub = jax.random.split(key)
-        m = trainer.train_iteration(batch_for(i), 1000 + i, sub)
+        m = trainer.train_iteration(batch_for(i), 910 + i, sub)
     jax.block_until_ready(m["loss"])
 
     # timed windows (median rejects tunnel-degraded samples)

@@ -156,7 +156,7 @@ class RoDyGSEvaluator:
                      self.image_height, alive=alive,
                      fragment_profile=self.fragment_profile,
                      include_normal=False)
-        return out["rendered_image"]
+        return out["rendered_image"], out["dropped"], out["num_fragments"]
 
     def _render_views_batch(self, cams):
         """Batched test-view rendering: ONE jit call scans `eval_batch_size`
@@ -173,12 +173,15 @@ class RoDyGSEvaluator:
         return self._batch_render_cache[key](cams)
 
     def _fit_fragment_profile(self, camera: Camera) -> None:
-        """Probe one view and escalate the fragment capacity until the
+        """Probe one view and FIT the fragment capacity: escalate until the
         render drops nothing — silently clipped fragments would bias every
-        reported metric. One probe is enough: eval renders a CONVERGED
-        scene, whose per-view fragment demand varies far less than the 25%
-        headroom `profile_for_demand` adds."""
-        from ..render.compact import profile_for_demand
+        reported metric — then, when the demand sits a full grid step below
+        the capacity, shrink to the demand-fitted size (every fragment-scale
+        op costs ~capacity; eval renders hundreds of views). One probe is
+        enough: eval renders a CONVERGED scene, whose per-view fragment
+        demand varies far less than the 25% headroom both sizers add."""
+        from ..render.compact import (fit_capacity, fragment_capacity,
+                                      profile_for_demand)
 
         while True:
             xyz, shs, opacity, scaling, rotation, alive = self._concat_arrays(
@@ -189,6 +192,10 @@ class RoDyGSEvaluator:
                          fragment_profile=self.fragment_profile,
                          include_normal=False)
             if not bool(out["overflow"]):
+                fit = fit_capacity(xyz.shape[0], int(out["num_fragments"]))
+                if fit * 3 // 2 <= fragment_capacity(
+                        xyz.shape[0], self.fragment_profile):
+                    self.fragment_profile = fit
                 return
             wider = profile_for_demand(
                 xyz.shape[0], int(out["num_fragments"]),
@@ -242,7 +249,23 @@ class RoDyGSEvaluator:
             cams = [v[2] for v in padded]
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
             t0 = time.perf_counter()
-            preds = np.asarray(self._render_views_batch(stacked))
+            preds, dropped, demand = self._render_views_batch(stacked)
+            if int(np.max(np.asarray(dropped))) > 0:
+                # a view exceeded the probe-fitted capacity: escalate to
+                # its demand and re-render — reported metrics must never
+                # come from a clipped render
+                from ..render.compact import profile_for_demand
+
+                n = (G.capacity_of(self.static_store)
+                     + (0 if self.skip_dynamic
+                        else G.capacity_of(self.dyn_store)))
+                wider = profile_for_demand(
+                    n, int(np.max(np.asarray(demand))),
+                    self.fragment_profile)
+                if wider is not None:
+                    self.fragment_profile = wider
+                    preds, dropped, demand = self._render_views_batch(stacked)
+            preds = np.asarray(preds)
             render_s += time.perf_counter() - t0
             for (idx, frame, _), pred in zip(chunk, preds):
                 gt = frame["image"]

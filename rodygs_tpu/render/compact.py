@@ -103,6 +103,26 @@ def profile_for_demand(n: int, demand: int, current: str | int = "lean"):
     return cap if cap > cur_cap else None
 
 
+def fit_capacity(n: int, demand: int) -> int:
+    """Smallest 1.5-geometric-grid capacity (anchored at FCHUNK) covering
+    the structural floor (every store slot emits one fragment, so >= n)
+    plus 1.25x the observed real-fragment demand.
+
+    Every fragment-scale op — the (key, records) sort, the expand and
+    segsum kernels, the backward unsort — scales with the STATIC capacity,
+    not with the true demand, so a converged scene running on the "lean"
+    6N tier pays for slots it never fills. Trainers use this to re-jit
+    DOWN to a demand-fitted capacity (EscalationPoller, with hysteresis);
+    the geometric grid bounds the number of distinct jit variants (~25 up
+    to the 2^24 cap)."""
+    want = max(n + int(demand * 1.25), FCHUNK)
+    cap = FCHUNK
+    while cap < want:
+        cap = int(cap * 1.5)
+    cap = -(-cap // FCHUNK) * FCHUNK
+    return min(cap, MAX_FRAGMENT_CAPACITY)
+
+
 def escalation_poll_due(iteration: int) -> bool:
     """Whether to host-sync the overflow flag this iteration. Early
     training (noisy init, biggest footprints) polls every 5 iters so the

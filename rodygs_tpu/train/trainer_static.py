@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ..models import gaussians as G
 from ..ops.schedules import expon_lr
 from ..render.camera import Camera
-from ..render.compact import escalation_poll_due, profile_for_demand
+from ..render.compact import (escalation_poll_due, fit_capacity,
+                              fragment_capacity, profile_for_demand)
 from ..render.rasterize import render
 from .densify import DensifyStats, accumulate_stats, densify_and_prune, init_stats, reset_opacity
 from .losses import MultiLoss
@@ -131,7 +132,8 @@ def _param_lr_tree(cfg: StaticTrainerConfig, iteration, spatial_lr_scale: float)
 
 
 class EscalationPoller:
-    """Demand-driven fragment-capacity escalation with DEFERRED host reads.
+    """Demand-driven fragment-capacity escalation AND shrinking, with
+    DEFERRED host reads.
 
     On a poll iteration, acting on the just-enqueued step's overflow flag
     would block until that step completes — flushing the async dispatch
@@ -143,25 +145,50 @@ class EscalationPoller:
     escalation still works; steady state never stalls. Worst-case detection
     lag is two poll intervals, during which overflowing steps keep running
     with the exact dropped-fragment count reported.
+
+    Shrinking: every fragment-scale op scales with the static capacity, so
+    when the observed demand sits far below it (converged scenes on the
+    "lean" 6N tier, or after early-training blobs shrink) the poller
+    re-jits DOWN to `fit_capacity` (structural floor + 1.25x demand on a
+    1.5-geometric grid). Guards against thrash: steady state only
+    (iteration > 100), the fit must be at least one full grid step below
+    the current capacity, and TWO consecutive polls must agree (the larger
+    of their fits wins). Escalation always takes precedence.
     """
 
-    def __init__(self):
+    def __init__(self, allow_shrink: bool = True):
         self._probe = None
+        self._shrink_fit = None
+        self.allow_shrink = allow_shrink
 
     def poll(self, iteration: int, metrics: dict, capacity: int,
              profile: str | int):
-        """Returns the wider profile to re-jit with, or None."""
+        """Returns the new fragment profile (ladder name or explicit
+        integer capacity) to re-jit with, or None."""
         if not escalation_poll_due(iteration):
             return None
         probe = self._probe if self._probe is not None else metrics
         self._probe = metrics
-        if not bool(probe["overflow"]):
+        if bool(probe["overflow"]):
+            self._shrink_fit = None
+            wider = profile_for_demand(
+                capacity, int(probe["num_fragments"]), profile)
+            if wider is not None:
+                self._probe = None
+            return wider
+        if not self.allow_shrink or iteration <= 100:
             return None
-        wider = profile_for_demand(
-            capacity, int(probe["num_fragments"]), profile)
-        if wider is not None:
-            self._probe = None
-        return wider
+        cur = fragment_capacity(capacity, profile)
+        fit = fit_capacity(capacity, int(probe["num_fragments"]))
+        if fit * 3 // 2 > cur:   # less than one grid step below: keep
+            self._shrink_fit = None
+            return None
+        prev_fit, self._shrink_fit = self._shrink_fit, fit
+        if prev_fit is None:
+            return None
+        self._probe = None
+        self._shrink_fit = None
+        return max(fit, prev_fit)
 
 
 class ThreeDGSTrainer:

@@ -566,3 +566,81 @@ class TestEscalationPoller:
         assert fragment_capacity(256, wider) >= 12_500
         # escalation invalidated the snapshot: the next poll reads current
         assert p.poll(100, self._m(True, 10**6), 256, wider) is not None
+
+
+class TestCapacityShrink:
+    """Demand-fitted capacity shrinking (fit_capacity + EscalationPoller):
+    fragment-scale ops cost ~capacity, so converged scenes re-jit down."""
+
+    def _m(self, overflow, demand):
+        return {"overflow": jnp.asarray(overflow),
+                "num_fragments": jnp.asarray(demand, jnp.int32)}
+
+    def test_fit_capacity_covers_floor_and_demand(self):
+        from rodygs_tpu.render.compact import (FCHUNK,
+                                               MAX_FRAGMENT_CAPACITY,
+                                               fit_capacity)
+        assert fit_capacity(1000, 0) >= 1000          # structural floor
+        assert fit_capacity(1000, 80_000) >= 1000 + 100_000
+        assert fit_capacity(100, 0) == FCHUNK
+        assert fit_capacity(10**6, 10**9) == MAX_FRAGMENT_CAPACITY
+        # geometric grid: bounded number of distinct capacities
+        caps = {fit_capacity(0, d) for d in range(0, 10**7, 9973)}
+        assert len(caps) < 30
+
+    def test_shrink_needs_two_agreeing_polls(self):
+        from rodygs_tpu.render.compact import fit_capacity, fragment_capacity
+        from rodygs_tpu.train.trainer_static import EscalationPoller
+        n, demand = 131072, 150_000
+        lean = fragment_capacity(n, "lean")          # 786432
+        fit = fit_capacity(n, demand)                # ~340k: well below
+        assert fit * 3 // 2 <= lean
+        p = EscalationPoller()
+        # seed the probe (iteration 125 stores, acts on itself first)
+        assert p.poll(125, self._m(False, demand), n, "lean") is None
+        got = p.poll(150, self._m(False, demand), n, "lean")
+        assert got == fit
+        # after the shrink, demand fits snugly -> no further change
+        assert p.poll(175, self._m(False, demand), n, got) is None
+        assert p.poll(200, self._m(False, demand), n, got) is None
+
+    def test_no_shrink_early_or_when_snug(self):
+        from rodygs_tpu.train.trainer_static import EscalationPoller
+        n = 131072
+        p = EscalationPoller()
+        # early phase: polls happen but never shrink
+        for it in (25, 30, 35, 40):
+            assert p.poll(it, self._m(False, 1000), n, "lean") is None
+        p2 = EscalationPoller(allow_shrink=False)
+        assert p2.poll(125, self._m(False, 1000), n, "lean") is None
+        assert p2.poll(150, self._m(False, 1000), n, "lean") is None
+
+    def test_escalation_recovers_after_shrink(self):
+        from rodygs_tpu.render.compact import fragment_capacity
+        from rodygs_tpu.train.trainer_static import EscalationPoller
+        n = 131072
+        p = EscalationPoller()
+        assert p.poll(125, self._m(False, 150_000), n, "lean") is None
+        got = p.poll(150, self._m(False, 150_000), n, "lean")
+        assert isinstance(got, int)                      # shrank
+        # demand explodes after the shrink: the (synchronous, probe was
+        # reset) next poll escalates straight past the shrunk capacity
+        wider = p.poll(175, self._m(True, 10**6), n, got)
+        assert wider is not None
+        assert fragment_capacity(n, wider) >= 10**6
+
+    def test_shrunk_capacity_still_renders_exactly(self):
+        from rodygs_tpu.render.compact import fit_capacity
+        from rodygs_tpu.render.rasterize import render as render2
+        from test_render import make_scene
+        means, scales, quats, opac, shs, cam = make_scene(n=120)
+        base = render2(means, shs, opac, scales, quats, cam, 0, 64, 48,
+                       fragment_profile="lean")
+        demand = int(base["num_fragments"])
+        fitted = fit_capacity(120, demand)
+        out = render2(means, shs, opac, scales, quats, cam, 0, 64, 48,
+                      fragment_profile=fitted)
+        assert int(out["dropped"]) == 0
+        np.testing.assert_allclose(np.asarray(out["rendered_image"]),
+                                   np.asarray(base["rendered_image"]),
+                                   atol=1e-6)
