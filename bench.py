@@ -117,6 +117,10 @@ def main():
     step_s = float(np.median(windows))
     mpix_s = (W * H / 1e6) / step_s
 
+    import sys
+    print(f"[bench] windows_ms={[round(w * 1e3, 1) for w in windows]} "
+          f"fragment_profile={trainer.fragment_profile}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "train_step_fwd_bwd_mpix_per_s",
         "value": round(mpix_s, 3),
