@@ -522,10 +522,11 @@ def _stack_records(rows):
     ], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def composite_compact(table, bases, f_kept, tile_starts, tile_counts,
                       tile_id_offset, tiles_x: int, tiles_y: int,
-                      include_normal: bool = True):
+                      include_normal: bool = True,
+                      bwd_unsort: str = "sort"):
     """Differentiable fragment compositing over the compact index structure.
 
     table: [NUM_TABLE_ROWS, Nw] — rows 0..12 are the differentiable record
@@ -540,14 +541,26 @@ def composite_compact(table, bases, f_kept, tile_starts, tile_counts,
     d_table normal rows are zero) — use when no loss consumes the normal
     channel, which is true of every shipped config (the reference also
     composites normals it never supervises).
+
+    bwd_unsort selects how gradient rows return to presort order:
+      * "sort" (default): carry them through a second stable sort keyed on
+        the presort index.
+      * "gather": compute the inverse permutation in the forward (one
+        conflict-free [C] scatter of iota) and gather the rows by it —
+        fewer sort passes at the price of a fragment-scale random gather.
+    Numerically identical (tests/test_render.py); the faster one is a
+    hardware measurement (set RODYGS_BWD_UNSORT=gather to A/B the render
+    path end-to-end).
     """
     out, _ = _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
-                            tile_id_offset, tiles_x, tiles_y, include_normal)
+                            tile_id_offset, tiles_x, tiles_y, include_normal,
+                            bwd_unsort)
     return out
 
 
 def _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
-                   tile_id_offset, tiles_x, tiles_y, include_normal):
+                   tile_id_offset, tiles_x, tiles_y, include_normal,
+                   bwd_unsort="sort"):
     from .tile_kernel import rasterize_fwd_impl
 
     db = depth_key_bits(tiles_x, tiles_y)
@@ -555,27 +568,39 @@ def _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
     if not include_normal:
         rec = rec[:N_CORE_ROWS]
     presort_idx, rows = _sort_fragments(key, rec)
+    if bwd_unsort == "gather":
+        c = presort_idx.shape[0]
+        iota = jnp.arange(c, dtype=jnp.int32)
+        # inv[presort_idx[i]] = i: conflict-free scatter of a permutation
+        unsort_idx = jnp.zeros((c,), jnp.int32).at[presort_idx].set(
+            iota, unique_indices=True)
+    else:
+        unsort_idx = presort_idx
     records = _stack_records(rows)
     out = rasterize_fwd_impl(records, tile_starts, tile_counts,
                              tile_id_offset, tiles_x)
-    residuals = (records, presort_idx, tile_starts, tile_counts,
+    residuals = (records, unsort_idx, tile_starts, tile_counts,
                  tile_id_offset, table, bases, out)
     return out, residuals
 
 
-def _composite_bwd(tiles_x, tiles_y, include_normal, residuals, gout):
+def _composite_bwd(tiles_x, tiles_y, include_normal, bwd_unsort,
+                   residuals, gout):
     from .tile_kernel import rasterize_bwd_impl
 
-    (records, presort_idx, tile_starts, tile_counts, tile_id_offset,
+    (records, unsort_idx, tile_starts, tile_counts, tile_id_offset,
      table, bases, out) = residuals
     d_records = rasterize_bwd_impl(records, tile_starts, tile_counts,
                                    tile_id_offset, out, gout, tiles_x)
-    # unsort the gradient rows back to presort (gaussian-grouped) order;
-    # without normals the 3 zero rows stay out of the sort payload
+    # gradient rows back to presort (gaussian-grouped) order; without
+    # normals the 3 zero rows stay out of the unsort payload
     n_rows = NUM_REC_ROWS if include_normal else N_CORE_ROWS
-    ops = (presort_idx,) + tuple(d_records[r] for r in range(n_rows))
-    unsorted = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    d_presort = jnp.stack(unsorted[1:], axis=0)          # [n_rows, C]
+    if bwd_unsort == "gather":
+        d_presort = jnp.take(d_records[:n_rows], unsort_idx, axis=1)
+    else:
+        ops = (unsort_idx,) + tuple(d_records[r] for r in range(n_rows))
+        unsorted = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        d_presort = jnp.stack(unsorted[1:], axis=0)      # [n_rows, C]
     d_rows = segment_sum_rows(d_presort, jax.lax.stop_gradient(table),
                               bases)                     # [n_rows, Nw]
     d_table = jnp.concatenate([

@@ -30,6 +30,7 @@ dL/d(means2d) in the same scaled-NDC units the reference accumulates
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,10 @@ from .compact import (NUM_REC_ROWS, build_binning, build_table,
                       composite_compact, fragment_capacity, padded_width)
 from .preprocess import Splats2D, preprocess
 from .tile_kernel import NUM_CHANNELS, PIX, rasterize_tiles, tiles_to_image
+
+# Backward unsort strategy for the compact path (compact.composite_compact
+# docstring): "sort" or "gather". Process-level A/B knob; read once.
+_BWD_UNSORT = os.environ.get("RODYGS_BWD_UNSORT", "sort")
 
 
 def default_fragment_budget(image_width: int, image_height: int, n: int) -> int:
@@ -188,7 +193,8 @@ def render(
         if tile_axis is None:
             tile_out = composite_compact(
                 table, cb.bases, cb.f_kept, cb.tile_starts, cb.tile_counts,
-                jnp.zeros((1,), jnp.int32), tiles_x, tiles_y, include_normal)
+                jnp.zeros((1,), jnp.int32), tiles_x, tiles_y, include_normal,
+                _BWD_UNSORT)
         else:
             # Tile-space sharding: this device composites a contiguous slice
             # of the tile grid; outputs reassemble with a tiled all_gather
@@ -198,7 +204,7 @@ def render(
             local_out = composite_compact(
                 table, cb.bases, cb.f_kept, local_starts, local_counts,
                 jnp.reshape(t0, (1,)).astype(jnp.int32),
-                tiles_x, tiles_y, include_normal)
+                tiles_x, tiles_y, include_normal, _BWD_UNSORT)
             gathered = jax.lax.all_gather(
                 local_out, tile_axis, axis=0, tiled=True)
             tile_out = gathered[:num_tiles]

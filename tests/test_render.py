@@ -302,3 +302,51 @@ class TestOptionalNormalChannel:
             means, scales, quats, opac, shs, cam)
         for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gl)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestBwdUnsortModes:
+    """The two backward-unsort strategies of the compact path — the stable
+    sort on the presort index vs the inverse-permutation gather — must be
+    numerically identical (compact.composite_compact docstring; the faster
+    one is a hardware measurement, RODYGS_BWD_UNSORT)."""
+
+    def test_gather_matches_sort(self):
+        from rodygs_tpu.render.binning import tile_grid
+        from rodygs_tpu.render.compact import (build_binning, build_table,
+                                               composite_compact,
+                                               fragment_capacity,
+                                               padded_width)
+        from rodygs_tpu.render.preprocess import preprocess
+
+        means, scales, quats, opac, shs, cam = make_scene(n=200)
+        tiles_x, tiles_y = tile_grid(W, H)
+        splats = preprocess(means, scales, quats, opac, shs, 0, cam, W, H)
+        n = splats.mean2d.shape[1]
+        cb = build_binning(splats, tiles_x, tiles_y,
+                           fragment_capacity(n, "lean"))
+        nw = padded_width(n)
+        rec13 = jnp.concatenate([
+            splats.mean2d, splats.conic, splats.opacity[None, :],
+            splats.rgb, splats.depth[None, :], splats.normal], axis=0)
+        table = build_table(jnp.pad(rec13, ((0, 0), (0, nw - n))),
+                            cb.aux_rows)
+        offset = jnp.zeros((1,), jnp.int32)
+
+        def loss(table, mode):
+            out = composite_compact(table, cb.bases, cb.f_kept,
+                                    cb.tile_starts, cb.tile_counts, offset,
+                                    tiles_x, tiles_y, True, mode)
+            return jnp.mean(out ** 2) + jnp.mean(out)
+
+        out_s = composite_compact(table, cb.bases, cb.f_kept, cb.tile_starts,
+                                  cb.tile_counts, offset, tiles_x, tiles_y,
+                                  True, "sort")
+        out_g = composite_compact(table, cb.bases, cb.f_kept, cb.tile_starts,
+                                  cb.tile_counts, offset, tiles_x, tiles_y,
+                                  True, "gather")
+        np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_g))
+
+        g_s = jax.grad(loss)(table, "sort")
+        g_g = jax.grad(loss)(table, "gather")
+        assert float(jnp.abs(g_s).max()) > 0  # non-degenerate
+        np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_g))
