@@ -118,8 +118,9 @@ def fit_capacity(n: int, demand: int) -> int:
     want = max(n + int(demand * 1.25), FCHUNK)
     cap = FCHUNK
     while cap < want:
-        cap = int(cap * 1.5)
-    cap = -(-cap // FCHUNK) * FCHUNK
+        # grow ~1.5x per step, keeping every grid value FCHUNK-aligned
+        # (rounding only at the end would skip grid points)
+        cap = -(-int(cap * 1.5) // FCHUNK) * FCHUNK
     return min(cap, MAX_FRAGMENT_CAPACITY)
 
 

@@ -644,3 +644,37 @@ class TestCapacityShrink:
         np.testing.assert_allclose(np.asarray(out["rendered_image"]),
                                    np.asarray(base["rendered_image"]),
                                    atol=1e-6)
+
+
+class TestShrinkDuringTraining:
+    def test_capacity_shrinks_in_steady_state(self):
+        """A small scene on 'lean' (6N) has demand far below capacity: the
+        trainer re-jits down to a fitted integer capacity after the polls
+        at iterations 125/150, and training stays finite and drop-free."""
+        from rodygs_tpu.render.compact import fragment_capacity
+        (gt_means, gt_cols), views = make_gt_scene()
+        store = G.from_point_cloud(gt_means, gt_cols, sh_degree=1,
+                                   capacity=256)
+        poses = CameraPoses(
+            q_c2w=jnp.stack([v[0].q_c2w for v in views]),
+            t_c2w=jnp.stack([v[0].t_c2w for v in views]))
+        loss = MultiLoss([LossTerm("l1", 1.0, "L1Loss")])
+        cfg = StaticTrainerConfig(
+            num_iterations=160, image_width=W, image_height=H, sh_degree=1,
+            densification_interval=0, densify_from_iter=10**9,
+            position_lr_max_steps=160, camera_total_steps=160,
+            camera_rotation_lr=0.0, camera_translation_lr=0.0)
+        trainer = ThreeDGSTrainer(cfg, loss, store, poses, 3.0)
+        key = jax.random.key(0)
+        for it in range(1, 161):
+            cam, gt_img, _ = views[(it - 1) % len(views)]
+            batch = FrameBatch(
+                gt_image=jnp.asarray(gt_img), gt_depth=None, motion_mask=None,
+                frame_idx=jnp.asarray((it - 1) % len(views), jnp.int32),
+                time=cam.time, fovx=cam.fovx, fovy=cam.fovy)
+            key, sub = jax.random.split(key)
+            m = trainer.train_iteration(batch, it, sub)
+        assert isinstance(trainer.fragment_profile, int)
+        assert trainer.fragment_profile < fragment_capacity(256, "lean")
+        assert np.isfinite(float(m["loss"]))
+        assert int(m["dropped"]) == 0
