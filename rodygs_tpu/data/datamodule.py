@@ -105,6 +105,12 @@ class DataReader:
             image = _load_image_composite_black(cam_name)
             h, w = image.shape[:2]
             fovy = float(focal2fov(fov2focal(fovx, w), h))
+            mask = None if mask_obj is None else mask_obj(dirpath, base_name)
+            if mask is not None and mask.shape[:2] != (h, w):
+                # the reference asserts this too (`rodygs.py:285-292`)
+                raise ValueError(
+                    f"motion mask {mask.shape[:2]} does not match image "
+                    f"{(h, w)} for {base_name}")
             return {
                 "image": image,
                 "image_name": Path(cam_name).stem,
@@ -113,7 +119,7 @@ class DataReader:
                 "fovy": fovy,
                 "depth": None if depth_obj is None else depth_obj(dirpath, base_name),
                 "normal": None if normal_obj is None else normal_obj(dirpath, base_name),
-                "motion_mask": None if mask_obj is None else mask_obj(dirpath, base_name),
+                "motion_mask": mask,
                 "max_depth": None,
                 "cam_idx": idx,
             }

@@ -252,6 +252,9 @@ def build_training_run(config: dict, dirpath: str | None = None,
             dyn_spec, w, h, dyn_model_kwargs, DynTrainerConfig))
         d_loss = MultiLoss.from_config(
             dyn_spec["loss_config"]["params"]["loss_configs"])
+        assert s_cfg.isotropic == d_cfg.isotropic, (
+            "Both static and dynamic Gaussians must be isotropic or "
+            "anisotropic (the reference asserts this too, rodygs.py:82-84)")
         d_pcd = dynamic_dm.get_init_pcd()
         d_norm = dynamic_dm.get_normalization()["radius"]
         d_store = G.from_point_cloud(
