@@ -495,6 +495,75 @@ def segment_sum_rows(d_presort: jnp.ndarray, table: jnp.ndarray,
 # record-row index ranges: [0:10) geometry+rgb+depth, [10:13) normal
 N_CORE_ROWS = 10
 
+# --------------------------------------------------------------------------
+# bf16 payload packing (opt-in perf mode; RODYGS_BF16_RECORDS=1)
+#
+# The fragment sort's cost scales with the payload bytes it carries. Rows
+# whose numerics tolerate 8-bit-mantissa rounding — opacity, rgb, normal,
+# and their gradient rows on the backward unsort — are rounded to bf16 and
+# packed two-per-i32 row (hi<<16 | lo); geometry rows (mean2d, conic) and
+# depth stay f32 (bitcast to i32 so the whole payload is one dtype, which
+# also lets the "gather" backward unsort move it as a single array). This
+# shrinks the sort payload 10 -> 8 rows (core) / 13 -> 10 (with normals) at
+# a ~2e-3 image-value cost, so it is NOT the default: the 1e-5 gold-parity
+# contract only holds with it off (tests assert a 1e-2 tolerance when on).
+# --------------------------------------------------------------------------
+
+_BF16_KEEP_ROWS = (0, 1, 2, 3, 4, 9)  # mx,my,ca,cb,cc,depth stay f32
+
+
+def _bf16_pairs(n_rows: int):
+    """(hi, lo) record-row pairs packed per i32 row; -1 = empty half."""
+    pairs = [(5, 6), (7, 8)]              # (op, r), (g, b)
+    if n_rows == NUM_REC_ROWS:
+        pairs += [(10, 11), (12, -1)]     # (nx, ny), (nz, -)
+    return tuple(pairs)
+
+
+def bf16_payload_rows(n_rows: int) -> int:
+    return len(_BF16_KEEP_ROWS) + len(_bf16_pairs(n_rows))
+
+
+def _bf16_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 [C] -> i32 holding the rounded bf16 bit pattern in the low 16."""
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.bfloat16), jnp.uint16)
+    return b.astype(jnp.int32)
+
+
+def _bits_bf16(bits: jnp.ndarray) -> jnp.ndarray:
+    """i32 (low 16 bits = bf16 pattern) -> f32."""
+    u16 = jnp.bitwise_and(bits, 0xFFFF).astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(u16, jnp.bfloat16).astype(jnp.float32)
+
+
+def pack_bf16_payload(rec: jnp.ndarray) -> jnp.ndarray:
+    """[n_rows, C] f32 record (or gradient) rows -> [R, C] i32 sort payload
+    (R = bf16_payload_rows(n_rows))."""
+    n_rows, c = rec.shape
+    rows = [jax.lax.bitcast_convert_type(rec[i], jnp.int32)
+            for i in _BF16_KEEP_ROWS]
+    zero = jnp.zeros((c,), jnp.float32)
+    for a, b in _bf16_pairs(n_rows):
+        hi = _bf16_bits(rec[a])
+        lo = _bf16_bits(rec[b]) if b >= 0 else _bf16_bits(zero)
+        rows.append(jnp.bitwise_or(jax.lax.shift_left(hi, 16), lo))
+    return jnp.stack(rows)
+
+
+def unpack_bf16_payload(packed: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    """Inverse of pack_bf16_payload: [R, C] i32 -> [n_rows, C] f32 (bf16
+    rows carry the rounded values)."""
+    out = [None] * n_rows
+    for r, i in enumerate(_BF16_KEEP_ROWS):
+        out[i] = jax.lax.bitcast_convert_type(packed[r], jnp.float32)
+    base = len(_BF16_KEEP_ROWS)
+    for j, (a, b) in enumerate(_bf16_pairs(n_rows)):
+        p = packed[base + j]
+        out[a] = _bits_bf16(jax.lax.shift_right_logical(p, 16))
+        if b >= 0:
+            out[b] = _bits_bf16(p)
+    return jnp.stack(out)
+
 
 def _sort_fragments(key, rec):
     """Sort (key, presort-iota, rec rows). rec may be [13, C] or — when the
@@ -523,11 +592,12 @@ def _stack_records(rows):
     ], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def composite_compact(table, bases, f_kept, tile_starts, tile_counts,
                       tile_id_offset, tiles_x: int, tiles_y: int,
                       include_normal: bool = True,
-                      bwd_unsort: str = "sort"):
+                      bwd_unsort: str = "sort",
+                      bf16_payload: bool = False):
     """Differentiable fragment compositing over the compact index structure.
 
     table: [NUM_TABLE_ROWS, Nw] — rows 0..12 are the differentiable record
@@ -552,23 +622,33 @@ def composite_compact(table, bases, f_kept, tile_starts, tile_counts,
     Numerically identical (tests/test_render.py); the faster one is a
     hardware measurement (set RODYGS_BWD_UNSORT=gather to A/B the render
     path end-to-end).
+
+    bf16_payload=True rounds the opacity/rgb/normal record rows (and their
+    gradient rows on the backward unsort) to bf16 and packs them two-per-row
+    so both sort legs carry ~20% fewer bytes — an opt-in perf mode that
+    trades the 1e-5 parity contract for ~2e-3 value error (set
+    RODYGS_BF16_RECORDS=1, or render(..., bf16_records=True)).
     """
     out, _ = _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
                             tile_id_offset, tiles_x, tiles_y, include_normal,
-                            bwd_unsort)
+                            bwd_unsort, bf16_payload)
     return out
 
 
 def _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
                    tile_id_offset, tiles_x, tiles_y, include_normal,
-                   bwd_unsort="sort"):
+                   bwd_unsort="sort", bf16_payload=False):
     from .tile_kernel import rasterize_fwd_impl
 
     db = depth_key_bits(tiles_x, tiles_y)
     key, rec = expand_fragments(table, bases, f_kept, tiles_x=tiles_x, db=db)
     if not include_normal:
         rec = rec[:N_CORE_ROWS]
-    presort_idx, rows = _sort_fragments(key, rec)
+    n_rows = rec.shape[0]
+    payload = pack_bf16_payload(rec) if bf16_payload else rec
+    presort_idx, rows = _sort_fragments(key, payload)
+    if bf16_payload:
+        rows = unpack_bf16_payload(rows, n_rows)
     if bwd_unsort == "gather":
         c = presort_idx.shape[0]
         iota = jnp.arange(c, dtype=jnp.int32)
@@ -585,7 +665,7 @@ def _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
     return out, residuals
 
 
-def _composite_bwd(tiles_x, tiles_y, include_normal, bwd_unsort,
+def _composite_bwd(tiles_x, tiles_y, include_normal, bwd_unsort, bf16_payload,
                    residuals, gout):
     from .tile_kernel import rasterize_bwd_impl
 
@@ -596,12 +676,17 @@ def _composite_bwd(tiles_x, tiles_y, include_normal, bwd_unsort,
     # gradient rows back to presort (gaussian-grouped) order; without
     # normals the 3 zero rows stay out of the unsort payload
     n_rows = NUM_REC_ROWS if include_normal else N_CORE_ROWS
+    d_payload = (pack_bf16_payload(d_records[:n_rows]) if bf16_payload
+                 else d_records[:n_rows])
     if bwd_unsort == "gather":
-        d_presort = jnp.take(d_records[:n_rows], unsort_idx, axis=1)
+        d_presort = jnp.take(d_payload, unsort_idx, axis=1)
     else:
-        ops = (unsort_idx,) + tuple(d_records[r] for r in range(n_rows))
+        ops = (unsort_idx,) + tuple(
+            d_payload[r] for r in range(d_payload.shape[0]))
         unsorted = jax.lax.sort(ops, num_keys=1, is_stable=True)
         d_presort = jnp.stack(unsorted[1:], axis=0)      # [n_rows, C]
+    if bf16_payload:
+        d_presort = unpack_bf16_payload(d_presort, n_rows)
     d_rows = segment_sum_rows(d_presort, jax.lax.stop_gradient(table),
                               bases)                     # [n_rows, Nw]
     d_table = jnp.concatenate([

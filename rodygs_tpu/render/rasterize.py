@@ -46,6 +46,10 @@ from .tile_kernel import NUM_CHANNELS, PIX, rasterize_tiles, tiles_to_image
 # Backward unsort strategy for the compact path (compact.composite_compact
 # docstring): "sort" or "gather". Process-level A/B knob; read once.
 _BWD_UNSORT = os.environ.get("RODYGS_BWD_UNSORT", "sort")
+# Opt-in bf16 fragment-payload packing (compact.pack_bf16_payload): trades
+# the 1e-5 parity contract for ~20% less sort traffic. Process-level default;
+# per-call override via render(..., bf16_records=...).
+_BF16_RECORDS = os.environ.get("RODYGS_BF16_RECORDS", "0") == "1"
 
 
 def default_fragment_budget(image_width: int, image_height: int, n: int) -> int:
@@ -101,7 +105,8 @@ def _local_tile_slice(tile_starts, tile_counts, tile_axis, num_tiles):
     jax.jit,
     static_argnames=("sh_degree", "image_width", "image_height",
                      "max_fragments", "tile_axis", "fragment_profile",
-                     "binning_mode", "gauss_axis", "include_normal"),
+                     "binning_mode", "gauss_axis", "include_normal",
+                     "bf16_records"),
 )
 def render(
     means3d: jnp.ndarray,
@@ -124,6 +129,7 @@ def render(
     binning_mode: str = "compact",
     gauss_axis: str | None = None,
     include_normal: bool = True,
+    bf16_records: bool | None = None,
 ):
     """Differentiable tile rasterization of N Gaussians.
 
@@ -172,6 +178,7 @@ def render(
             splats)
 
     num_tiles = tiles_x * tiles_y
+    bf16 = _BF16_RECORDS if bf16_records is None else bf16_records
     if binning_mode == "compact":
         n = splats.mean2d.shape[1]
         capacity = fragment_capacity(n, fragment_profile)
@@ -194,7 +201,7 @@ def render(
             tile_out = composite_compact(
                 table, cb.bases, cb.f_kept, cb.tile_starts, cb.tile_counts,
                 jnp.zeros((1,), jnp.int32), tiles_x, tiles_y, include_normal,
-                _BWD_UNSORT)
+                _BWD_UNSORT, bf16)
         else:
             # Tile-space sharding: this device composites a contiguous slice
             # of the tile grid; outputs reassemble with a tiled all_gather
@@ -204,7 +211,7 @@ def render(
             local_out = composite_compact(
                 table, cb.bases, cb.f_kept, local_starts, local_counts,
                 jnp.reshape(t0, (1,)).astype(jnp.int32),
-                tiles_x, tiles_y, include_normal, _BWD_UNSORT)
+                tiles_x, tiles_y, include_normal, _BWD_UNSORT, bf16)
             gathered = jax.lax.all_gather(
                 local_out, tile_axis, axis=0, tiled=True)
             tile_out = gathered[:num_tiles]

@@ -350,3 +350,67 @@ class TestBwdUnsortModes:
         g_g = jax.grad(loss)(table, "gather")
         assert float(jnp.abs(g_s).max()) > 0  # non-degenerate
         np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_g))
+
+
+class TestBf16Payload:
+    """Opt-in bf16 fragment-payload packing (compact.pack_bf16_payload,
+    RODYGS_BF16_RECORDS): the sort legs carry op/rgb/normal rows rounded to
+    bf16 and packed in pairs. Geometry/depth rows must survive bit-exactly;
+    the rendered output must stay within the documented ~2e-3 envelope of
+    the f32 path (VERDICT r1 item #10 — a bandwidth lever, NOT the default:
+    it intentionally breaks the 1e-5 gold-parity contract)."""
+
+    @pytest.mark.parametrize("n_rows", [10, 13])
+    def test_pack_roundtrip(self, n_rows):
+        from rodygs_tpu.render.compact import (bf16_payload_rows,
+                                               pack_bf16_payload,
+                                               unpack_bf16_payload,
+                                               _BF16_KEEP_ROWS)
+
+        rng = np.random.default_rng(3)
+        rec = jnp.asarray(
+            rng.normal(0, 10.0, size=(n_rows, 256)).astype(np.float32))
+        packed = pack_bf16_payload(rec)
+        assert packed.shape == (bf16_payload_rows(n_rows), 256)
+        assert packed.dtype == jnp.int32
+        back = unpack_bf16_payload(packed, n_rows)
+        ref = np.asarray(rec)
+        got = np.asarray(back)
+        for r in range(n_rows):
+            if r in _BF16_KEEP_ROWS:
+                np.testing.assert_array_equal(got[r], ref[r])  # bit-exact
+            else:
+                expected = np.asarray(
+                    jnp.asarray(ref[r]).astype(jnp.bfloat16).astype(
+                        jnp.float32))
+                np.testing.assert_array_equal(got[r], expected)
+
+    @pytest.mark.parametrize("bwd_unsort", ["sort", "gather"])
+    def test_render_close_to_f32_path(self, bwd_unsort, monkeypatch):
+        import rodygs_tpu.render.rasterize as R
+
+        monkeypatch.setattr(R, "_BWD_UNSORT", bwd_unsort)
+        means, scales, quats, opac, shs, cam = make_scene(n=250, sh_extra=True)
+
+        def run(bf16):
+            def loss_fn(means, opac):
+                out = render(means, shs, opac, scales, quats, cam, 3, W, H,
+                             bf16_records=bf16)
+                img = out["rendered_image"]
+                return (jnp.mean(img ** 2)
+                        + 0.1 * jnp.mean(out["rendered_depth"])), img
+
+            (l, img), g = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(means, opac)
+            return img, g
+
+        img32, g32 = run(False)
+        img16, g16 = run(True)
+        # forward: documented ~2e-3 envelope
+        assert float(jnp.abs(img16 - img32).max()) < 1e-2
+        # gradients: bf16 rounding of the payload + gradient rows; compare
+        # per-tensor against the f32 gradient scale
+        for a, b in zip(jax.tree.leaves(g16), jax.tree.leaves(g32)):
+            scale = max(float(jnp.abs(b).max()), 1e-6)
+            assert float(jnp.abs(a - b).max()) / scale < 3e-2
+        assert float(jnp.abs(jax.tree.leaves(g16)[0]).max()) > 0
