@@ -115,6 +115,21 @@ def parse_trace(outdir: str, min_ms: float = 0.3):
     print(f"[total shown: {shown:.1f} ms]")
 
 
+def timed_window(trainer, batch_for, key, steps, base_iter):
+    """One timed window of steps; returns (ms/step, key). Dispatch stays
+    async; only the last loss is synced."""
+    import time
+
+    import jax
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        m = trainer.train_iteration(batch_for(i), base_iter + i, sub)
+    jax.block_until_ready(m["loss"])
+    return (time.perf_counter() - t0) / steps * 1e3, key
+
+
 def main(args):
     import jax
 
@@ -127,18 +142,36 @@ def main(args):
         m = trainer.train_iteration(batch_for(i), 1000 + i, sub)
     jax.block_until_ready(m["loss"])
 
-    jax.profiler.start_trace(args.outdir)
-    for i in range(args.steps):
-        key, sub = jax.random.split(key)
-        m = trainer.train_iteration(batch_for(i), 2000 + i, sub)
-    jax.block_until_ready(m["loss"])
-    jax.profiler.stop_trace()
-    parse_trace(args.outdir, args.min_ms)
+    # steady-state ms/step: median of timed windows (tunnel stalls make
+    # single windows unreliable — see DESIGN.md "Environment lessons")
+    wins = []
+    for w in range(args.windows):
+        ms, key = timed_window(trainer, batch_for, key, args.steps,
+                               2000 + w * args.steps)
+        wins.append(ms)
+        print(f"[window {w}] {ms:.1f} ms/step", flush=True)
+    med = float(np.median(wins))
+    mpix = args.width * args.height / 1e6 / (med / 1e3)
+    print(f"[steady] {med:.1f} ms/step  ({mpix:.2f} Mpix/s fwd+bwd+adam)",
+          flush=True)
+
+    if not args.no_trace:
+        jax.profiler.start_trace(args.outdir)
+        for i in range(args.steps):
+            key, sub = jax.random.split(key)
+            m = trainer.train_iteration(batch_for(i), 5000 + i, sub)
+        jax.block_until_ready(m["loss"])
+        jax.profiler.stop_trace()
+        parse_trace(args.outdir, args.min_ms)
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=15)
+    p.add_argument("--windows", type=int, default=5,
+                   help="timed windows for the steady-state median")
+    p.add_argument("--no_trace", action="store_true",
+                   help="timing only (A/B runs; skips the profiler trace)")
     p.add_argument("--outdir", default="/tmp/rodygs_trace")
     p.add_argument("--min_ms", type=float, default=0.3)
     p.add_argument("--width", type=int, default=512)
