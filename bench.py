@@ -29,7 +29,40 @@ import numpy as np
 A100_REFERENCE_MPIX_S = 3.5
 
 
+def _require_device(timeout_s: float) -> None:
+    """Fail honestly instead of hanging forever when the TPU tunnel is down
+    (jax.devices() blocks indefinitely in that state — no error). Runs the
+    initial device dial under a deadline; prints a diagnostic and exits
+    nonzero on timeout so the driver records a failed run, not a stall."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+    info = {}
+
+    def dial():
+        import jax
+
+        info["devices"] = jax.devices()
+        done.set()
+
+    t = threading.Thread(target=dial, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(f"[bench] ERROR: no JAX device within {timeout_s:.0f}s — "
+              "the TPU tunnel is unreachable; no measurement possible.",
+              file=sys.stderr, flush=True)
+        os._exit(2)
+    print(f"[bench] devices: {info['devices']}", file=sys.stderr)
+
+
 def main():
+    import os
+
+    _require_device(float(os.environ.get("RODYGS_BENCH_TUNNEL_TIMEOUT",
+                                         "1200")))
+
     import jax
     import jax.numpy as jnp
 

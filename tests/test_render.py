@@ -385,8 +385,11 @@ class TestBf16Payload:
                         jnp.float32))
                 np.testing.assert_array_equal(got[r], expected)
 
-    @pytest.mark.parametrize("bwd_unsort", ["sort", "gather"])
-    def test_render_close_to_f32_path(self, bwd_unsort, monkeypatch):
+    @pytest.mark.parametrize("bwd_unsort,include_normal",
+                             [("sort", True), ("gather", True),
+                              ("sort", False)])
+    def test_render_close_to_f32_path(self, bwd_unsort, include_normal,
+                                      monkeypatch):
         import rodygs_tpu.render.rasterize as R
 
         monkeypatch.setattr(R, "_BWD_UNSORT", bwd_unsort)
@@ -395,7 +398,8 @@ class TestBf16Payload:
         def run(bf16):
             def loss_fn(means, opac):
                 out = render(means, shs, opac, scales, quats, cam, 3, W, H,
-                             bf16_records=bf16)
+                             bf16_records=bf16,
+                             include_normal=include_normal)
                 img = out["rendered_image"]
                 return (jnp.mean(img ** 2)
                         + 0.1 * jnp.mean(out["rendered_depth"])), img
