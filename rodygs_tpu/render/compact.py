@@ -592,12 +592,13 @@ def _stack_records(rows):
     ], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def composite_compact(table, bases, f_kept, tile_starts, tile_counts,
                       tile_id_offset, tiles_x: int, tiles_y: int,
                       include_normal: bool = True,
                       bwd_unsort: str = "sort",
-                      bf16_payload: bool = False):
+                      bf16_payload: bool = False,
+                      fwd_records: str = "sort"):
     """Differentiable fragment compositing over the compact index structure.
 
     table: [NUM_TABLE_ROWS, Nw] — rows 0..12 are the differentiable record
@@ -628,16 +629,26 @@ def composite_compact(table, bases, f_kept, tile_starts, tile_counts,
     so both sort legs carry ~20% fewer bytes — an opt-in perf mode that
     trades the 1e-5 parity contract for ~2e-3 value error (set
     RODYGS_BF16_RECORDS=1, or render(..., bf16_records=True)).
+
+    fwd_records selects how the record rows reach sorted order:
+      * "sort" (default): they ride the fragment sort as extra operands.
+      * "gather": the sort carries only (key, presort-iota) and the rows
+        are fetched afterwards with one permutation gather
+        (jnp.take by the sorted iota). Trades 10-13 sort operands for a
+        fragment-scale random gather — which side wins is a hardware
+        measurement (RODYGS_FWD_RECORDS=gather to A/B). Numerically
+        identical; composes with bf16_payload (the gather then moves the
+        packed i32 rows).
     """
     out, _ = _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
                             tile_id_offset, tiles_x, tiles_y, include_normal,
-                            bwd_unsort, bf16_payload)
+                            bwd_unsort, bf16_payload, fwd_records)
     return out
 
 
 def _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
                    tile_id_offset, tiles_x, tiles_y, include_normal,
-                   bwd_unsort="sort", bf16_payload=False):
+                   bwd_unsort="sort", bf16_payload=False, fwd_records="sort"):
     from .tile_kernel import rasterize_fwd_impl
 
     db = depth_key_bits(tiles_x, tiles_y)
@@ -646,7 +657,13 @@ def _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
         rec = rec[:N_CORE_ROWS]
     n_rows = rec.shape[0]
     payload = pack_bf16_payload(rec) if bf16_payload else rec
-    presort_idx, rows = _sort_fragments(key, payload)
+    if fwd_records == "gather":
+        capacity = key.shape[0]
+        iota = jnp.arange(capacity, dtype=jnp.int32)
+        presort_idx = jax.lax.sort((key, iota), num_keys=1, is_stable=True)[1]
+        rows = jnp.take(payload, presort_idx, axis=1)
+    else:
+        presort_idx, rows = _sort_fragments(key, payload)
     if bf16_payload:
         rows = unpack_bf16_payload(rows, n_rows)
     if bwd_unsort == "gather":
@@ -666,7 +683,8 @@ def _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
 
 
 def _composite_bwd(tiles_x, tiles_y, include_normal, bwd_unsort, bf16_payload,
-                   residuals, gout):
+                   fwd_records, residuals, gout):
+    del fwd_records  # forward-only choice; the backward is unaffected
     from .tile_kernel import rasterize_bwd_impl
 
     (records, unsort_idx, tile_starts, tile_counts, tile_id_offset,

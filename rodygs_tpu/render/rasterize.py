@@ -50,6 +50,10 @@ _BWD_UNSORT = os.environ.get("RODYGS_BWD_UNSORT", "sort")
 # the 1e-5 parity contract for ~20% less sort traffic. Process-level default;
 # per-call override via render(..., bf16_records=...).
 _BF16_RECORDS = os.environ.get("RODYGS_BF16_RECORDS", "0") == "1"
+# How record rows reach sorted order: carried by the sort ("sort") or
+# fetched post-sort with one permutation gather ("gather"). Lossless A/B
+# knob (compact.composite_compact docstring).
+_FWD_RECORDS = os.environ.get("RODYGS_FWD_RECORDS", "sort")
 
 
 def default_fragment_budget(image_width: int, image_height: int, n: int) -> int:
@@ -201,7 +205,7 @@ def render(
             tile_out = composite_compact(
                 table, cb.bases, cb.f_kept, cb.tile_starts, cb.tile_counts,
                 jnp.zeros((1,), jnp.int32), tiles_x, tiles_y, include_normal,
-                _BWD_UNSORT, bf16)
+                _BWD_UNSORT, bf16, _FWD_RECORDS)
         else:
             # Tile-space sharding: this device composites a contiguous slice
             # of the tile grid; outputs reassemble with a tiled all_gather
@@ -211,7 +215,8 @@ def render(
             local_out = composite_compact(
                 table, cb.bases, cb.f_kept, local_starts, local_counts,
                 jnp.reshape(t0, (1,)).astype(jnp.int32),
-                tiles_x, tiles_y, include_normal, _BWD_UNSORT, bf16)
+                tiles_x, tiles_y, include_normal, _BWD_UNSORT, bf16,
+                _FWD_RECORDS)
             gathered = jax.lax.all_gather(
                 local_out, tile_axis, axis=0, tiled=True)
             tile_out = gathered[:num_tiles]

@@ -418,3 +418,48 @@ class TestBf16Payload:
             scale = max(float(jnp.abs(b).max()), 1e-6)
             assert float(jnp.abs(a - b).max()) / scale < 3e-2
         assert float(jnp.abs(jax.tree.leaves(g16)[0]).max()) > 0
+
+
+class TestFwdRecordsModes:
+    """The two forward record-carry strategies — rows riding the fragment
+    sort vs a post-sort permutation gather — must be bit-identical
+    (compact.composite_compact fwd_records; RODYGS_FWD_RECORDS A/B knob)."""
+
+    def test_gather_matches_sort(self):
+        from rodygs_tpu.render.binning import tile_grid
+        from rodygs_tpu.render.compact import (build_binning, build_table,
+                                               composite_compact,
+                                               fragment_capacity,
+                                               padded_width)
+        from rodygs_tpu.render.preprocess import preprocess
+
+        means, scales, quats, opac, shs, cam = make_scene(n=200)
+        tiles_x, tiles_y = tile_grid(W, H)
+        splats = preprocess(means, scales, quats, opac, shs, 0, cam, W, H)
+        n = splats.mean2d.shape[1]
+        cb = build_binning(splats, tiles_x, tiles_y,
+                           fragment_capacity(n, "lean"))
+        nw = padded_width(n)
+        rec13 = jnp.concatenate([
+            splats.mean2d, splats.conic, splats.opacity[None, :],
+            splats.rgb, splats.depth[None, :], splats.normal], axis=0)
+        table = build_table(jnp.pad(rec13, ((0, 0), (0, nw - n))),
+                            cb.aux_rows)
+        offset = jnp.zeros((1,), jnp.int32)
+
+        def run(fwd_mode):
+            def loss(table):
+                out = composite_compact(table, cb.bases, cb.f_kept,
+                                        cb.tile_starts, cb.tile_counts,
+                                        offset, tiles_x, tiles_y, True,
+                                        "sort", False, fwd_mode)
+                return jnp.mean(out ** 2), out
+
+            (l, out), g = jax.value_and_grad(loss, has_aux=True)(table)
+            return out, g
+
+        out_s, g_s = run("sort")
+        out_g, g_g = run("gather")
+        np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_g))
+        assert float(jnp.abs(g_s).max()) > 0
+        np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_g))
