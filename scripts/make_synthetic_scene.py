@@ -84,7 +84,32 @@ def make_scene_views(n_static, n_dyn, n_frames, width, height, seed=5):
     return (sm, sc), (dm0, dc, vel), views
 
 
-def write_scene(out, scene, width, height):
+def perturb_c2ws(c2ws: np.ndarray, rot_deg: float, trans: float,
+                 seed: int = 9) -> np.ndarray:
+    """Perturb camera-to-world poses with random small rotations (axis-angle,
+    `rot_deg` stddev) and translations (`trans` stddev per axis). Used to
+    de-calibrate the MASt3R training-init poses while the GT transforms stay
+    exact — a pose-RECOVERY benchmark: training must pull the noisy poses
+    back to GT photometrically (the reference's core pose-free premise;
+    its MASt3R init is likewise imperfect)."""
+    rng = np.random.default_rng(seed)
+    out = c2ws.copy()
+    for i in range(len(out)):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        ang = np.deg2rad(rng.normal(0, rot_deg))
+        k = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]], np.float32)
+        r = (np.eye(3, dtype=np.float32) + np.sin(ang) * k
+             + (1 - np.cos(ang)) * (k @ k))
+        out[i, :3, :3] = r @ out[i, :3, :3]
+        out[i, :3, 3] += rng.normal(0, trans, size=3).astype(np.float32)
+    return out
+
+
+def write_scene(out, scene, width, height, pose_noise_rot_deg=0.0,
+                pose_noise_trans=0.0):
     from PIL import Image
 
     from rodygs_tpu.ops.quaternion import quat_to_matrix
@@ -135,9 +160,12 @@ def write_scene(out, scene, width, height):
                       ("test_transforms.json", test_frames)):
         with open(root / fname, "w") as f:
             json.dump({"camera_angle_x": fovx_deg, "frames": ff}, f)
+    c2ws = np.stack([c2w_of(c) for c, _ in views])
+    if pose_noise_rot_deg > 0 or pose_noise_trans > 0:
+        c2ws = perturb_c2ws(c2ws, pose_noise_rot_deg, pose_noise_trans)
     with open(exp / "global_params.pkl", "wb") as f:
         pickle.dump({"focals": [float(fov2focal(0.9, 512))],
-                     "cam2worlds": np.stack([c2w_of(c) for c, _ in views])}, f)
+                     "cam2worlds": c2ws}, f)
     print(f"scene written to {root}")
 
 
@@ -149,8 +177,15 @@ if __name__ == "__main__":
     parser.add_argument("--frames", type=int, default=6)
     parser.add_argument("--width", type=int, default=64)
     parser.add_argument("--height", type=int, default=48)
+    parser.add_argument("--pose_noise_rot_deg", type=float, default=0.0,
+                        help="stddev of rotation noise on the MASt3R "
+                             "(training-init) poses; GT stays exact")
+    parser.add_argument("--pose_noise_trans", type=float, default=0.0,
+                        help="stddev of translation noise on the MASt3R "
+                             "(training-init) poses")
     args = parser.parse_args()
     _pin_cpu()
     scene = make_scene_views(args.n_static, args.n_dyn, args.frames,
                              args.width, args.height)
-    write_scene(args.out, scene, args.width, args.height)
+    write_scene(args.out, scene, args.width, args.height,
+                args.pose_noise_rot_deg, args.pose_noise_trans)
