@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import warnings
 from pathlib import Path
 
 import numpy as np
@@ -148,18 +149,27 @@ class MASt3R_CKPTCameraReader:
         from ..ops.quaternion import quat_to_matrix
         from ..utils.checkpoint import load_checkpoint
 
-        sd, _ = load_checkpoint(ckpt_path)
-        q = np.asarray(sd["camera"]["q_c2w"])
-        t = np.asarray(sd["camera"]["t_c2w"])
-        rot = np.asarray(quat_to_matrix(q))
-        n = len(q)
-        poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
-        poses[:, :3, :3] = rot
-        poses[:, :3, 3] = t
-        self._poses = poses
         with open(Path(dirpath, self.dirname, mast3r_expname,
                        "global_params.pkl"), "rb") as f:
             data = pickle.load(f)
+        sd, _ = load_checkpoint(ckpt_path)
+        if "camera" in sd:
+            q = np.asarray(sd["camera"]["q_c2w"])
+            t = np.asarray(sd["camera"]["t_c2w"])
+            rot = np.asarray(quat_to_matrix(q))
+            n = len(q)
+            poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+            poses[:, :3, :3] = rot
+            poses[:, :3, 3] = t
+        else:
+            # this trainer always checkpoints the camera section, but a
+            # CONVERTED reference checkpoint trained without camera opt may
+            # lack it (the reference reader crashes here); fall back to the
+            # MASt3R init poses those runs trained against.
+            warnings.warn(f"{ckpt_path} has no camera section; pose metrics "
+                          "will score the MASt3R init poses")
+            poses = np.asarray(data["cam2worlds"], dtype=np.float32)
+        self._poses = poses
         self._fovx = float(focal2fov(float(np.asarray(data["focals"][0])),
                                      mast3r_img_res))
 

@@ -80,6 +80,15 @@ def scene_dir(tmp_path_factory):
 
     focal = float(fov2focal(0.9, 512))
     c2ws = np.stack([c2w_of(cam) for cam, _ in views])
+    # de-calibrate the MASt3R (training-init) poses while GT stays exact:
+    # training must recover them, and eval pose metrics must score the
+    # checkpoint-refined poses, NOT this init (regression for the eval
+    # reader-swap; see configs/eval/*.yaml)
+    import sys as _sys
+    from pathlib import Path as _Path
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "scripts"))
+    from make_synthetic_scene import perturb_c2ws
+    c2ws = perturb_c2ws(c2ws, rot_deg=0.3, trans=0.01)
     with open(exp / "global_params.pkl", "wb") as f:
         pickle.dump({"focals": [focal], "cam2worlds": c2ws,
                      "depths": None, "max_depths": None, "masks": None}, f)
@@ -213,16 +222,16 @@ class TestFullPipeline:
         assert (logdir / "train" / "config.yaml").exists()
         assert (logdir / "train" / "code" / "rodygs_tpu").exists()
 
-        # eval CLI (wo_align: no test-time pose opt)
-        eval_cfg = tmp_path / "eval.yaml"
-        with open(eval_cfg, "w") as f:
-            yaml.dump({"eval": {"params": {"camera_lr": -1, "num_opts": -1}}}, f)
-
+        # eval CLI with the SHIPPED wo_align config (exercises the
+        # reference-style reader swap to checkpoint-refined train poses +
+        # trained-fov test cameras)
         from rodygs_tpu.pipelines import eval as eval_cli
 
+        from pathlib import Path as _P
+        repo = _P(__file__).resolve().parents[1]
         eval_cli.main([
-            "-c", str(eval_cfg), "-t", "eval", "-d", str(scene_dir),
-            "-m", str(logdir),
+            "-c", str(repo / "configs/eval/eval_wo_align.yaml"), "-t", "eval",
+            "-d", str(scene_dir), "-m", str(logdir),
         ])
         result_path = logdir / "eval" / "result.yaml"
         assert result_path.exists()
@@ -232,6 +241,31 @@ class TestFullPipeline:
         assert result["viz"]["psnr"] > 10.0
         assert "ATE" in result["pose"]
         assert np.isfinite(result["pose"]["ATE"])
+
+        # pose metrics must come from the CHECKPOINT's refined poses, not
+        # the (noise-injected) MASt3R init in global_params.pkl
+        import jax.numpy as jnp
+        from rodygs_tpu.evalsuite.pose_metrics import PoseEvaluator
+        from rodygs_tpu.ops.quaternion import quat_to_matrix
+        from rodygs_tpu.utils.checkpoint import load_checkpoint
+
+        gt_j = json.load(open(scene_dir / "train_transforms.json"))
+        gt_c2ws = np.stack([np.array(f["transform_matrix"], np.float32)
+                            for f in gt_j["frames"]])
+        init = pickle.load(open(
+            scene_dir / "mast3r_opt" / "exp0" / "global_params.pkl",
+            "rb"))["cam2worlds"]
+        sd, _ = load_checkpoint(str(logdir / "train" / "static_last.ckpt"))
+        ck = np.tile(np.eye(4, dtype=np.float32),
+                     (len(sd["camera"]["q_c2w"]), 1, 1))
+        ck[:, :3, :3] = np.asarray(
+            quat_to_matrix(jnp.asarray(sd["camera"]["q_c2w"])))
+        ck[:, :3, 3] = np.asarray(sd["camera"]["t_c2w"])
+        pe = PoseEvaluator()
+        ate_ck = pe.get_score(gt_c2ws, ck)["ATE"]
+        ate_init = pe.get_score(gt_c2ws, init)["ATE"]
+        assert abs(result["pose"]["ATE"] - ate_ck) < 1e-7
+        assert abs(ate_ck - ate_init) > 1e-9  # camera opt moved the poses
         # per-frame PNGs + video
         pred_pngs = list((logdir / "eval" / "pred" / "viz").glob("*.png"))
         assert len(pred_pngs) == 5
