@@ -463,3 +463,20 @@ class TestFwdRecordsModes:
         np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_g))
         assert float(jnp.abs(g_s).max()) > 0
         np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_g))
+
+
+class TestColorsPrecomp:
+    """colors_precomp bypasses SH evaluation (reference rasterizer contract:
+    exactly one of shs/colors_precomp drives the color). For colors in [0,1],
+    passing rgb2sh(c) at degree 0 and passing c precomputed must agree."""
+
+    def test_matches_sh0(self):
+        means, scales, quats, opac, shs, cam = make_scene(n=80)
+        cols = jnp.clip(jnp.asarray(np.asarray(shs[:, 0])) * 0.28209479177387814 + 0.5,
+                        0.0, 1.0)
+        out_sh = render(means, shs, opac, scales, quats, cam, 0, W, H)
+        out_pc = render(means, shs, opac, scales, quats, cam, 0, W, H,
+                        colors_precomp=cols)
+        np.testing.assert_allclose(np.asarray(out_pc["rendered_image"]),
+                                   np.asarray(out_sh["rendered_image"]),
+                                   atol=1e-5)
