@@ -2,6 +2,7 @@
 tile-sharded rendering matches single-device bit-for-bit-ish, and the
 data-parallel train step matches the average of single-device gradients."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -509,3 +510,23 @@ class TestMultihostBootstrap:
         monkeypatch.delenv("RODYGS_NUM_PROCESSES", raising=False)
         with pytest.raises(KeyError):
             maybe_initialize_distributed()
+
+    def test_two_real_processes_run_the_sharded_pipeline(self):
+        """Spawn TWO OS processes (4 virtual CPU devices each), bootstrap
+        via the RODYGS_COORDINATOR env contract, and run the full sharded
+        pipeline (static step + densify + dynamic step, 2x2x2 mesh) over
+        the 8 GLOBAL devices — every data-axis collective crosses the
+        process boundary (Gloo). The in-process mesh tests above cannot
+        cover the multi-process runtime path this exercises."""
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]
+        out = subprocess.run(
+            [sys.executable, str(repo / "scripts" / "multihost_smoke.py")],
+            cwd=str(repo), capture_output=True, text=True, timeout=540,
+            env={k: v for k, v in os.environ.items()
+                 if k not in ("XLA_FLAGS", "JAX_PLATFORMS")})
+        assert "MULTIHOST_SMOKE PASS" in out.stdout, (
+            out.stdout[-2000:], out.stderr[-2000:])
