@@ -530,3 +530,40 @@ class TestMultihostBootstrap:
                  if k not in ("XLA_FLAGS", "JAX_PLATFORMS")})
         assert "MULTIHOST_SMOKE PASS" in out.stdout, (
             out.stdout[-2000:], out.stderr[-2000:])
+
+
+class TestShardedRenderKnobs:
+    """The A/B render knobs (bf16 payload, post-sort record gather) must
+    behave identically inside the tile-sharded shard_map path: gather mode
+    exactly, bf16 within its documented envelope."""
+
+    def test_tile_sharded_gather_and_bf16(self, scene):
+        store, poses, views = scene
+        cam = views[0][0]
+        p = store.params
+        args = (p.xyz, G.get_features(p), G.get_opacity(p),
+                G.get_scaling(p), p.rotation)
+        mesh = make_mesh(n_data=2, n_tile=4)
+
+        def run(**kw):
+            def shard_fn():
+                out = render(*args, cam, 1, W, H, alive=store.alive,
+                             tile_axis="tile", **kw)
+                return out["rendered_image"]
+
+            return jax.jit(shard_map(
+                shard_fn, mesh=mesh, in_specs=(), out_specs=P(),
+                check_vma=False))()
+
+        base = run()
+        import rodygs_tpu.render.rasterize as R
+        orig = R._FWD_RECORDS
+        R._FWD_RECORDS = "gather"
+        try:
+            img_gather = run()
+        finally:
+            R._FWD_RECORDS = orig
+        np.testing.assert_array_equal(np.asarray(img_gather), np.asarray(base))
+
+        img_bf16 = run(bf16_records=True)
+        assert float(jnp.abs(img_bf16 - base).max()) < 1e-2
