@@ -175,6 +175,27 @@ def tile_rect(mean2d, radius, tiles_x: int, tiles_y: int):
     return xmin, ymin, xmax, ymax
 
 
+def tight_tile_rect(mean2d, ext, tiles_x: int, tiles_y: int):
+    """Tile rect of the alpha>=1/255 ellipse AABB (float half-extents from
+    preprocess, Splats2D.ext). Integer pixel j can contribute only when
+    ceil(px-ex) <= j <= floor(px+ex), so xmin = tile(ceil(px-ex)) and
+    xmax_excl = tile(floor(px+ex)) + 1 cover every pixel the compositor
+    would not skip. Callers intersect with the reference circle rect
+    (tile_rect), which bounds it from the other side — together the binning
+    enumerates a subset of the reference's fragments whose composite differs
+    only by fp summation order (the excluded fragments have alpha < 1/255
+    and are skipped exactly, forward and backward; repacking the survivors
+    into 128-lane chunks re-associates the transmittance prefix sums at the
+    ulp level)."""
+    px, py = mean2d[0], mean2d[1]
+    ex, ey = ext[0], ext[1]
+    xmin = jnp.clip(jnp.floor(jnp.ceil(px - ex) / TILE), 0, tiles_x).astype(jnp.int32)
+    ymin = jnp.clip(jnp.floor(jnp.ceil(py - ey) / TILE), 0, tiles_y).astype(jnp.int32)
+    xmax = jnp.clip(jnp.floor(jnp.floor(px + ex) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    ymax = jnp.clip(jnp.floor(jnp.floor(py + ey) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    return xmin, ymin, xmax, ymax
+
+
 class CompactBinning(NamedTuple):
     """Index structure for one render (all non-differentiable)."""
 
@@ -242,8 +263,13 @@ def build_binning(
     tiles_x: int,
     tiles_y: int,
     capacity: int,
+    tight: bool = False,
 ) -> CompactBinning:
-    """Build the compact fragment index structure (stop-gradient inputs)."""
+    """Build the compact fragment index structure (stop-gradient inputs).
+
+    tight=True intersects each gaussian's tile rect with its alpha-cut
+    ellipse AABB (tight_tile_rect) — same output to ~1 ulp, fewer fragments.
+    """
     mean2d = jax.lax.stop_gradient(splats.mean2d)
     depth = jax.lax.stop_gradient(splats.depth)
     n = mean2d.shape[1]
@@ -252,6 +278,13 @@ def build_binning(
     db = depth_key_bits(tiles_x, tiles_y)
 
     xmin, ymin, xmax, ymax = tile_rect(mean2d, splats.radius, tiles_x, tiles_y)
+    if tight:
+        txmin, tymin, txmax, tymax = tight_tile_rect(
+            mean2d, jax.lax.stop_gradient(splats.ext), tiles_x, tiles_y)
+        xmin = jnp.maximum(xmin, txmin)
+        ymin = jnp.maximum(ymin, tymin)
+        xmax = jnp.minimum(xmax, txmax)
+        ymax = jnp.minimum(ymax, tymax)
     span_w = xmax - xmin
     span_h = ymax - ymin
     vis = splats.visible & (span_w > 0) & (span_h > 0)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.sh import C0, C1, C2, C3
@@ -45,6 +46,7 @@ class Splats2D(NamedTuple):
     normal: jnp.ndarray     # [3, N] view-space normal (shortest-axis)
     radius: jnp.ndarray     # [N] int32 pixel radius (0 => culled)
     visible: jnp.ndarray    # [N] bool
+    ext: jnp.ndarray        # [2, N] f32 alpha-cut rect half-extents (px)
 
 
 def _sh_eval_components(deg: int, sh_t: jnp.ndarray, dx, dy, dz):
@@ -219,6 +221,31 @@ def preprocess(
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(lam1))
 
+    # Tight per-axis extents for fragment binning: a pixel at offset d only
+    # survives the compositor's alpha threshold (tile_kernel ALPHA_EPS) when
+    # opacity * exp(-0.5 d^T conic d) >= 1/255, i.e. the quadratic form
+    # q <= t_cut = 2 ln(255 * opacity). The AABB of {q <= t_cut} has
+    # half-extents sqrt(t_cut * cov2d_xx / _yy) (cov2d diagonal = (a, c)),
+    # usually much tighter than the reference's 3-sigma max-eigenvalue circle
+    # for anisotropic or low-opacity splats. Pixels outside are skipped
+    # EXACTLY in forward and backward, so intersecting the fragment rect with
+    # this AABB (compact.tight_tile_rect) changes the render only at the fp
+    # summation-order level (fewer fragments repack the compositing chunks,
+    # re-associating the transmittance prefix sums by ~1 ulp) while cutting
+    # fragment demand. Multiplicative + absolute margins make
+    # fp rounding strictly conservative. Index structure only: stop-gradient.
+    # NOTE: ext is intentionally NOT clamped to radius_f. The reference's
+    # circle rect is TILE-granular, so pixels beyond the 3-sigma radius in an
+    # included tile still composite when alpha >= 1/255 — and the alpha
+    # ellipse extends past the circle whenever t_cut > 9 (opacity > ~0.35).
+    # build_binning intersects the two TILE rects instead, which bounds the
+    # coverage from both sides at exactly the reference's granularity.
+    op_safe = jnp.maximum(opacities, 1e-12)
+    t_cut = jnp.maximum(2.0 * jnp.log(255.0 * op_safe), 0.0)
+    ext_x = jnp.sqrt(t_cut * a) * 1.00001 + 1e-3
+    ext_y = jnp.sqrt(t_cut * c) * 1.00001 + 1e-3
+    ext = jax.lax.stop_gradient(jnp.stack([ext_x, ext_y], axis=0))
+
     # Color from SH in world space: direction from camera center to point.
     if colors_precomp is None:
         campos = camera_center(camera)
@@ -263,4 +290,5 @@ def preprocess(
         normal=jnp.stack([nvx * flip, nvy * flip, nvz * flip], axis=0),
         radius=radius,
         visible=visible,
+        ext=ext,
     )

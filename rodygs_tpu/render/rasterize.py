@@ -54,6 +54,11 @@ _BF16_RECORDS = os.environ.get("RODYGS_BF16_RECORDS", "0") == "1"
 # fetched post-sort with one permutation gather ("gather"). Lossless A/B
 # knob (compact.composite_compact docstring).
 _FWD_RECORDS = os.environ.get("RODYGS_FWD_RECORDS", "sort")
+# Tight fragment rects (compact.tight_tile_rect): intersect each gaussian's
+# tile rect with its alpha>=1/255 ellipse AABB. Output identical up to fp
+# summation order (~1 ulp) with fewer fragments, so ON by default; RODYGS_TIGHT_RECT=0 is the A/B
+# kill-switch (the OFF side reproduces the reference's circle-rect demand).
+_TIGHT_RECT = os.environ.get("RODYGS_TIGHT_RECT", "1") != "0"
 
 
 def default_fragment_budget(image_width: int, image_height: int, n: int) -> int:
@@ -110,7 +115,7 @@ def _local_tile_slice(tile_starts, tile_counts, tile_axis, num_tiles):
     static_argnames=("sh_degree", "image_width", "image_height",
                      "max_fragments", "tile_axis", "fragment_profile",
                      "binning_mode", "gauss_axis", "include_normal",
-                     "bf16_records"),
+                     "bf16_records", "tight_rect"),
 )
 def render(
     means3d: jnp.ndarray,
@@ -134,6 +139,7 @@ def render(
     gauss_axis: str | None = None,
     include_normal: bool = True,
     bf16_records: bool | None = None,
+    tight_rect: bool | None = None,
 ):
     """Differentiable tile rasterization of N Gaussians.
 
@@ -186,7 +192,8 @@ def render(
     if binning_mode == "compact":
         n = splats.mean2d.shape[1]
         capacity = fragment_capacity(n, fragment_profile)
-        cb = build_binning(splats, tiles_x, tiles_y, capacity)
+        tight = _TIGHT_RECT if tight_rect is None else tight_rect
+        cb = build_binning(splats, tiles_x, tiles_y, capacity, tight=tight)
         nw = padded_width(n)
         rec13 = jnp.concatenate(
             [

@@ -189,7 +189,12 @@ class TestCompactBinning:
 
     def test_matches_legacy_fwd_and_bwd(self):
         means, scales, quats, opac, shs, cam = make_scene(n=250, sh_extra=True)
-        kw = dict(sh_degree=3, image_width=W, image_height=H)
+        # tight_rect off: this test checks the compact INDEX STRUCTURE is
+        # bit-equal to the legacy path, which requires both to enumerate the
+        # same (circle-rect) fragment set. TestTightRect covers the tight
+        # cut's own (ulp-level) equivalence.
+        kw = dict(sh_degree=3, image_width=W, image_height=H,
+                  tight_rect=False)
         out_c = render(means, shs, opac, scales, quats, cam,
                        binning_mode="compact", **kw)
         out_l = render(means, shs, opac, scales, quats, cam,
@@ -480,3 +485,101 @@ class TestColorsPrecomp:
         np.testing.assert_allclose(np.asarray(out_pc["rendered_image"]),
                                    np.asarray(out_sh["rendered_image"]),
                                    atol=1e-5)
+
+
+class TestTightRect:
+    """Tight alpha-cut fragment rects (compact.tight_tile_rect): the binning
+    intersects each gaussian's circle rect with the AABB of its
+    alpha >= 1/255 ellipse. Every excluded fragment is one the compositor
+    skips exactly (alpha threshold), so forward AND backward match the
+    loose (reference circle-rect) binning to fp-summation-order noise (the
+    transmittance prefix repacks into different 128-lane chunks, so sums
+    re-associate at the ulp level) while the fragment demand strictly drops
+    on anisotropic / low-opacity scenes."""
+
+    @staticmethod
+    def _aniso_scene(n=200, seed=3):
+        rng = np.random.default_rng(seed)
+        means = rng.uniform([-1.5, -1.0, 2.0], [1.5, 1.0, 6.0],
+                            size=(n, 3)).astype(np.float32)
+        # strongly anisotropic: one long axis, two short
+        scales = np.exp(rng.uniform(-3.5, -3.0, size=(n, 3))).astype(np.float32)
+        scales[:, 0] *= np.exp(rng.uniform(1.0, 2.0, size=(n,))).astype(np.float32)
+        quats = rng.normal(size=(n, 4)).astype(np.float32)
+        quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+        # include low opacities (post-reset regime) and a few below 1/255
+        opac = rng.uniform(0.003, 0.5, size=(n,)).astype(np.float32)
+        opac[: n // 8] = rng.uniform(1e-4, 3e-3, size=(n // 8,)).astype(np.float32)
+        k = 4
+        shs = np.zeros((n, k, 3), dtype=np.float32)
+        shs[:, 0] = np.asarray(
+            rgb2sh(rng.uniform(0.1, 0.9, size=(n, 3)).astype(np.float32)))
+        cam = make_camera([1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 0.9, 0.7, 0.0)
+        return (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                jnp.asarray(opac), jnp.asarray(shs), cam)
+
+    def test_bit_identical_and_fewer_fragments(self):
+        means, scales, quats, opac, shs, cam = self._aniso_scene()
+        target = jnp.linspace(0.0, 1.0, H * W * 3).reshape(H, W, 3)
+
+        def run(tight):
+            def loss(args):
+                means, scales, quats, opac, shs = args
+                out = render(means, shs, opac, scales, quats, cam, 1, W, H,
+                             tight_rect=tight)
+                l = (jnp.mean((out["rendered_image"] - target) ** 2)
+                     + 0.1 * jnp.mean(out["rendered_depth"])
+                     + 0.05 * jnp.mean(out["rendered_alpha"]))
+                return l, out
+            (l, out), g = jax.value_and_grad(loss, has_aux=True)(
+                (means, scales, quats, opac, shs))
+            return out, g
+
+        out_t, g_t = run(True)
+        out_l, g_l = run(False)
+        assert not bool(out_l["overflow"]) and not bool(out_t["overflow"])
+        for ch in ("rendered_image", "rendered_depth", "rendered_normal",
+                   "rendered_alpha"):
+            np.testing.assert_allclose(
+                np.asarray(out_t[ch]), np.asarray(out_l[ch]), atol=1e-6,
+                err_msg=ch)
+        for a, b in zip(jax.tree.leaves(g_t), jax.tree.leaves(g_l)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / scale, b / scale, atol=5e-6)
+        # radii/visibility contract unchanged (densify stats depend on it)
+        np.testing.assert_array_equal(np.asarray(out_t["radii"]),
+                                      np.asarray(out_l["radii"]))
+        # the whole point: strictly fewer fragments enumerated
+        ft = int(out_t["num_fragments"])
+        fl = int(out_l["num_fragments"])
+        assert ft < fl, (ft, fl)
+        # anisotropic + low-op scene: expect a substantial cut, not epsilon
+        assert ft < 0.7 * fl, (ft, fl)
+
+    def test_matches_gold(self):
+        """Tight mode vs the independent per-pixel gold compositor."""
+        means, scales, quats, opac, shs, cam = self._aniso_scene(n=120, seed=5)
+        from rodygs_tpu.render.preprocess import preprocess as pp
+        splats = pp(means, scales, quats, opac, shs, 1, cam, W, H)
+        gold = composite_reference(splats, W, H)
+        out = render(means, shs, opac, scales, quats, cam, 1, W, H,
+                     tight_rect=True)
+        np.testing.assert_allclose(
+            out["rendered_image"], gold["rendered_image"], atol=2e-5)
+        np.testing.assert_allclose(
+            out["rendered_alpha"], gold["rendered_alpha"], atol=2e-5)
+
+    def test_subthreshold_opacity_emits_nothing(self):
+        """Gaussians with opacity <= 1/255 can never pass the alpha test;
+        tight rects collapse them to (at most) a single skipped fragment."""
+        means, scales, quats, opac, shs, cam = make_scene(n=60)
+        tiny = jnp.full_like(opac, 1.0 / 300.0)
+        out_t = render(means, shs, tiny, scales, quats, cam, 0, W, H,
+                       tight_rect=True)
+        out_l = render(means, shs, tiny, scales, quats, cam, 0, W, H,
+                       tight_rect=False)
+        np.testing.assert_array_equal(np.asarray(out_t["rendered_image"]),
+                                      np.asarray(out_l["rendered_image"]))
+        assert float(jnp.abs(out_t["rendered_alpha"]).max()) == 0.0
+        assert int(out_t["num_fragments"]) <= means.shape[0]
