@@ -56,9 +56,14 @@ _BF16_RECORDS = os.environ.get("RODYGS_BF16_RECORDS", "0") == "1"
 _FWD_RECORDS = os.environ.get("RODYGS_FWD_RECORDS", "sort")
 # Tight fragment rects (compact.tight_tile_rect): intersect each gaussian's
 # tile rect with its alpha>=1/255 ellipse AABB. Output identical up to fp
-# summation order (~1 ulp) with fewer fragments, so ON by default; RODYGS_TIGHT_RECT=0 is the A/B
-# kill-switch (the OFF side reproduces the reference's circle-rect demand).
-_TIGHT_RECT = os.environ.get("RODYGS_TIGHT_RECT", "1") != "0"
+# summation order (~1 ulp) with fewer fragments, so ON by default;
+# RODYGS_TIGHT_RECT=0 is the A/B kill-switch (the OFF side reproduces the
+# reference's circle-rect demand). RODYGS_TIGHT_RECT=rows additionally
+# enumerates exact per-tile-row ellipse spans (compact.ellipse_row_spans),
+# ~2x fewer fragments again — hardware-validation pending, so not yet the
+# default.
+_TIGHT_ENV = os.environ.get("RODYGS_TIGHT_RECT", "1")
+_TIGHT_RECT = "rows" if _TIGHT_ENV == "rows" else (_TIGHT_ENV != "0")
 
 
 def default_fragment_budget(image_width: int, image_height: int, n: int) -> int:
@@ -139,7 +144,7 @@ def render(
     gauss_axis: str | None = None,
     include_normal: bool = True,
     bf16_records: bool | None = None,
-    tight_rect: bool | None = None,
+    tight_rect: bool | str | None = None,
 ):
     """Differentiable tile rasterization of N Gaussians.
 

@@ -583,3 +583,85 @@ class TestTightRect:
                                       np.asarray(out_l["rendered_image"]))
         assert float(jnp.abs(out_t["rendered_alpha"]).max()) == 0.0
         assert int(out_t["num_fragments"]) <= means.shape[0]
+
+
+class TestRowSpans:
+    """tight_rect="rows": exact per-tile-row ellipse spans. Same exclusion
+    argument as the AABB (every cut fragment has alpha < 1/255, skipped
+    exactly by the compositor), so forward/backward match the loose binning
+    to fp-summation-order noise while cutting strictly more fragments than
+    the AABB mode."""
+
+    def test_matches_loose_and_cuts_more(self):
+        means, scales, quats, opac, shs, cam = TestTightRect._aniso_scene()
+        target = jnp.linspace(0.0, 1.0, H * W * 3).reshape(H, W, 3)
+
+        def run(tight):
+            def loss(args):
+                means, scales, quats, opac, shs = args
+                out = render(means, shs, opac, scales, quats, cam, 1, W, H,
+                             tight_rect=tight)
+                l = (jnp.mean((out["rendered_image"] - target) ** 2)
+                     + 0.1 * jnp.mean(out["rendered_depth"])
+                     + 0.05 * jnp.mean(out["rendered_alpha"]))
+                return l, out
+            (l, out), g = jax.value_and_grad(loss, has_aux=True)(
+                (means, scales, quats, opac, shs))
+            return out, g
+
+        out_r, g_r = run("rows")
+        out_a, _ = run(True)
+        out_l, g_l = run(False)
+        assert not bool(out_r["overflow"])
+        for ch in ("rendered_image", "rendered_depth", "rendered_normal",
+                   "rendered_alpha"):
+            np.testing.assert_allclose(
+                np.asarray(out_r[ch]), np.asarray(out_l[ch]), atol=1e-6,
+                err_msg=ch)
+        for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_l)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / scale, b / scale, atol=5e-6)
+        fr = int(out_r["num_fragments"])
+        fa = int(out_a["num_fragments"])
+        fl = int(out_l["num_fragments"])
+        assert fr < fa < fl, (fr, fa, fl)
+
+    def test_matches_gold_large_blobs(self):
+        """Bigger, overlapping, diagonal splats (span up to many tiles —
+        exercises both the per-row path and the tall-rect fallback)."""
+        rng = np.random.default_rng(9)
+        n = 80
+        means = rng.uniform([-1.0, -0.8, 1.5], [1.0, 0.8, 4.0],
+                            size=(n, 3)).astype(np.float32)
+        scales = np.exp(rng.uniform(-2.6, -1.2, size=(n, 3))).astype(np.float32)
+        scales[:, 0] *= np.exp(rng.uniform(0.5, 1.5, size=(n,))).astype(np.float32)
+        quats = rng.normal(size=(n, 4)).astype(np.float32)
+        quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+        opac = rng.uniform(0.05, 0.99, size=(n,)).astype(np.float32)
+        shs = np.zeros((n, 4, 3), dtype=np.float32)
+        shs[:, 0] = np.asarray(
+            rgb2sh(rng.uniform(0.1, 0.9, size=(n, 3)).astype(np.float32)))
+        cam = make_camera([1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 0.9, 0.7, 0.0)
+        means, scales, quats, opac, shs = map(
+            jnp.asarray, (means, scales, quats, opac, shs))
+        splats = preprocess(means, scales, quats, opac, shs, 1, cam, W, H)
+        gold = composite_reference(splats, W, H)
+        out = render(means, shs, opac, scales, quats, cam, 1, W, H,
+                     tight_rect="rows", fragment_profile="huge")
+        assert not bool(out["overflow"])
+        np.testing.assert_allclose(
+            out["rendered_image"], gold["rendered_image"], atol=2e-5)
+        np.testing.assert_allclose(
+            out["rendered_alpha"], gold["rendered_alpha"], atol=2e-5)
+        np.testing.assert_allclose(
+            out["rendered_depth"], gold["rendered_depth"], atol=2e-4)
+
+    def test_drop_semantics_under_overflow(self):
+        """Capacity clamp with rows mode: exact dropped counts, no NaNs."""
+        means, scales, quats, opac, shs, cam = TestTightRect._aniso_scene(n=500)
+        out = render(means, shs, opac, scales, quats, cam, 1, W, H,
+                     tight_rect="rows", fragment_profile=512)
+        assert bool(out["overflow"])
+        assert int(out["dropped"]) > 0
+        assert np.isfinite(np.asarray(out["rendered_image"])).all()
