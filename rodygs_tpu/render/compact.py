@@ -67,17 +67,26 @@ ROW_SPAN_MAX = 8
 ROW_RMODE = NUM_REC_ROWS + 4
 ROW_ROWOFF0 = NUM_REC_ROWS + 5                 # .. +5+ROW_SPAN_MAX-1
 ROW_TXLO0 = NUM_REC_ROWS + 5 + ROW_SPAN_MAX   # .. +5+2*ROW_SPAN_MAX-1
-# 13 rec + 4 aux rows (21 in rows mode), padded to a multiple of 8: Mosaic
-# only DMA-slices HBM memrefs whose sublane extent is 8-aligned. The table
-# height is a static function of the binning mode — the default path keeps
-# the 24-row table (and its DMA volume) untouched; rows mode grows it to 40.
-NUM_TABLE_ROWS = 24
-NUM_TABLE_ROWS_RMODE = 40
+# 13 rec + 4 aux rows (5 + 2*ROW_SPAN_MAX in rows mode), padded to a
+# multiple of 8: Mosaic only DMA-slices HBM memrefs whose sublane extent is
+# 8-aligned. The table height is a static function of the binning mode —
+# the default path keeps the 24-row table (and its DMA volume) untouched;
+# rows mode grows it (to 40 at ROW_SPAN_MAX=8).
 
 
 def table_rows_for(aux_height: int) -> int:
     """Static expand/segsum table height for an aux-row block height."""
     return -(-(NUM_REC_ROWS + aux_height) // 8) * 8
+
+
+NUM_TABLE_ROWS = table_rows_for(4)
+NUM_TABLE_ROWS_RMODE = table_rows_for(5 + 2 * ROW_SPAN_MAX)
+assert NUM_TABLE_ROWS < NUM_TABLE_ROWS_RMODE
+# segsum only consumes the offsets row: the backward passes the table's
+# second sublane group (rows SEG_TAB_ROW0..+8, containing ROW_OFF) instead
+# of the whole table — 3-5x less table DMA on the hot backward path.
+SEG_TAB_ROW0 = 8
+assert SEG_TAB_ROW0 <= ROW_OFF < SEG_TAB_ROW0 + 8
 SEG_ROWS = 16             # segsum row count (13 grad rows padded to 8-mult)
 _OFF_PAD = 2.0e7          # > any valid off (C < 2^24); f32-exact window compares
 
@@ -274,8 +283,9 @@ def ellipse_row_spans(mean2d, conic, t_cut, xmin, ymin, xmax, ymax,
 class CompactBinning(NamedTuple):
     """Index structure for one render (all non-differentiable)."""
 
-    aux_rows: jnp.ndarray     # [NUM_AUX_ROWS, Nw] f32: base_tile, dbits,
-                              # off, span_w, rmode, rowoff[R], txlo[R]
+    aux_rows: jnp.ndarray     # [4 (or 21, rows mode), Nw] f32: base_tile,
+                              # dbits, off, span_w (+ rmode, rowoff[R],
+                              # txlo[R] in rows mode)
     bases: jnp.ndarray        # [C/FCHUNK] i32 128-aligned gaussian window starts
     tile_starts: jnp.ndarray  # [T] i32
     tile_counts: jnp.ndarray  # [T] i32
@@ -426,6 +436,10 @@ def build_binning(
 
     corners = rect_corners(counted, ymin, ymax, xmin, xmax)
     if rows_mode:
+        # one contraction per row index: fusing the 9 into one [9N, T+1]
+        # matmul moves the same bytes (the selection blocks must materialize
+        # either way) and costs 300+ MB of concat at training N — the
+        # per-j launches are the cheaper shape
         row_kept = rmode & kept
         for j in range(ROW_SPAN_MAX):
             sel = row_kept & (row_span[j] > 0)
@@ -571,7 +585,7 @@ def _expand_kernel(bases_ref, scal_ref, table_ref, key_ref, rec_ref,
 
 def expand_fragments(table: jnp.ndarray, bases: jnp.ndarray,
                      f_kept: jnp.ndarray, tiles_x: int, db: int):
-    """table: [NUM_TABLE_ROWS, Nw] f32 (record + aux rows).
+    """table: [24 or 40 (rows mode), Nw] f32 (record + aux rows).
     Returns (key [C] i32 in biased-u32 order, rec [13, C] presort records)."""
     capacity = bases.shape[0] * FCHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -607,14 +621,14 @@ def expand_fragments(table: jnp.ndarray, bases: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 
-def _segsum_kernel(bases_ref, table_ref, d_ref, zeros_ref, out_ref,
+def _segsum_kernel(bases_ref, offtab_ref, d_ref, zeros_ref, out_ref,
                    win_buf, acc_buf, sems):
     del zeros_ref  # aliased to out_ref; pre-zeroed by the caller
     c = pl.program_id(0)
     base = bases_ref[c]
 
     tab_copy = pltpu.make_async_copy(
-        table_ref.at[:, pl.ds(pl.multiple_of(base, 128), WIN)],
+        offtab_ref.at[:, pl.ds(pl.multiple_of(base, 128), WIN)],
         win_buf, sems.at[0])
     acc_in = pltpu.make_async_copy(
         out_ref.at[:, pl.ds(pl.multiple_of(base, 128), WIN)],
@@ -626,7 +640,8 @@ def _segsum_kernel(bases_ref, table_ref, d_ref, zeros_ref, out_ref,
     i_row = (jnp.float32(c * FCHUNK)
              + jax.lax.broadcasted_iota(
                  jnp.int32, (1, FCHUNK), 1).astype(jnp.float32))
-    onehot = _window_onehot(win_buf[ROW_OFF:ROW_OFF + 1, :], i_row)
+    onehot = _window_onehot(
+        win_buf[ROW_OFF - SEG_TAB_ROW0:ROW_OFF - SEG_TAB_ROW0 + 1, :], i_row)
     contrib = _mm(d_ref[:], onehot, _CONTRACT_LAST)      # [SEG_ROWS, WIN]
 
     acc_in.wait()
@@ -642,10 +657,12 @@ def _segsum_kernel(bases_ref, table_ref, d_ref, zeros_ref, out_ref,
 def segment_sum_rows(d_presort: jnp.ndarray, table: jnp.ndarray,
                      bases: jnp.ndarray) -> jnp.ndarray:
     """Reduce presort-order per-fragment rows into per-gaussian rows.
-    d_presort: [13, C] f32; table: [NUM_TABLE_ROWS, Nw] (only the ROW_OFF
-    offset row is read); returns [13, Nw]."""
+    d_presort: [13, C] f32; table: the expand-kernel table (24 or 40 rows;
+    only the ROW_OFF offsets row is read — the kernel is handed just its
+    8-row sublane group); returns [n_rows, Nw]."""
     n_rows, _ = d_presort.shape
     nw = table.shape[1]
+    offtab = table[SEG_TAB_ROW0:SEG_TAB_ROW0 + 8]
     d_padded = jnp.concatenate(
         [d_presort,
          jnp.zeros((SEG_ROWS - n_rows, d_presort.shape[1]), jnp.float32)],
@@ -661,7 +678,7 @@ def segment_sum_rows(d_presort: jnp.ndarray, table: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((table.shape[0], WIN), jnp.float32),
+            pltpu.VMEM((8, WIN), jnp.float32),
             pltpu.VMEM((SEG_ROWS, WIN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -674,7 +691,7 @@ def segment_sum_rows(d_presort: jnp.ndarray, table: jnp.ndarray,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         input_output_aliases={3: 0},  # zeros (3rd tensor arg) -> output
-    )(bases, table, d_padded, zeros)
+    )(bases, offtab, d_padded, zeros)
     return out[:n_rows]
 
 
@@ -793,7 +810,7 @@ def composite_compact(table, bases, f_kept, tile_starts, tile_counts,
                       fwd_records: str = "sort"):
     """Differentiable fragment compositing over the compact index structure.
 
-    table: [NUM_TABLE_ROWS, Nw] — rows 0..12 are the differentiable record
+    table: [24 or 40 (rows mode), Nw] — rows 0..12 are the differentiable record
     rows (mx,my,ca,cb,cc,op,r,g,b,depth,nx,ny,nz); rows 13..16 aux
     (stop-gradient; see build_table). tile_starts/tile_counts may be a slice
     of the tile grid (tile-sharded path) with tile_id_offset the [1] global

@@ -63,6 +63,10 @@ _FWD_RECORDS = os.environ.get("RODYGS_FWD_RECORDS", "sort")
 # ~2x fewer fragments again — hardware-validation pending, so not yet the
 # default.
 _TIGHT_ENV = os.environ.get("RODYGS_TIGHT_RECT", "1")
+if _TIGHT_ENV not in ("0", "1", "rows"):
+    raise ValueError(
+        f"RODYGS_TIGHT_RECT={_TIGHT_ENV!r}: expected '0', '1', or 'rows' "
+        "(a typo here would silently mis-label an A/B measurement)")
 _TIGHT_RECT = "rows" if _TIGHT_ENV == "rows" else (_TIGHT_ENV != "0")
 
 
