@@ -567,3 +567,37 @@ class TestShardedRenderKnobs:
 
         img_bf16 = run(bf16_records=True)
         assert float(jnp.abs(img_bf16 - base).max()) < 1e-2
+
+    def test_tile_sharded_tight_modes(self, scene):
+        """tight_rect AABB (default) and "rows" inside the tile-sharded
+        shard_map path: both must match the unsharded render of the same
+        mode to fp-summation noise (the binning is replicated and only tile
+        ranges shard, but XLA compiles a different fusion order), and the
+        loose mode within the same envelope."""
+        store, poses, views = scene
+        cam = views[0][0]
+        p = store.params
+        args = (p.xyz, G.get_features(p), G.get_opacity(p),
+                G.get_scaling(p), p.rotation)
+        mesh = make_mesh(n_data=2, n_tile=4)
+
+        def run_sharded(**kw):
+            def shard_fn():
+                out = render(*args, cam, 1, W, H, alive=store.alive,
+                             tile_axis="tile", **kw)
+                return out["rendered_image"]
+
+            return jax.jit(shard_map(
+                shard_fn, mesh=mesh, in_specs=(), out_specs=P(),
+                check_vma=False))()
+
+        for mode in (True, "rows"):
+            sharded = run_sharded(tight_rect=mode)
+            single = render(*args, cam, 1, W, H, alive=store.alive,
+                            tight_rect=mode)["rendered_image"]
+            np.testing.assert_allclose(np.asarray(sharded),
+                                       np.asarray(single), atol=1e-6)
+        loose = run_sharded(tight_rect=False)
+        tight = run_sharded(tight_rect=True)
+        np.testing.assert_allclose(np.asarray(tight), np.asarray(loose),
+                                   atol=1e-6)
