@@ -39,7 +39,8 @@ def _pin_cpu():
         jax.config.update("jax_platforms", "cpu")
 
 
-def make_scene_views(n_static, n_dyn, n_frames, width, height, seed=5):
+def make_scene_views(n_static, n_dyn, n_frames, width, height, seed=5,
+                     motion_amp=0.0):
     import jax.numpy as jnp
 
     from rodygs_tpu.ops.sh import rgb2sh
@@ -57,6 +58,19 @@ def make_scene_views(n_static, n_dyn, n_frames, width, height, seed=5):
     dm0 = rng.uniform([-0.8, -0.5, 2.8], [0.8, 0.5, 3.8],
                       size=(n_dyn, 3)).astype(np.float32)
     vel = rng.uniform(-0.4, 0.4, size=(n_dyn, 3)).astype(np.float32)
+    # optional NONLINEAR per-gaussian motion: a sinusoid with random phase
+    # and 1-2 cycles over the clip, anchored so t=0 stays at dm0. Linear
+    # drift alone is trivially representable by the motion basis; curved
+    # trajectories force it to use multiple Fourier components.
+    phase = rng.uniform(0, 2 * np.pi, size=(n_dyn, 3)).astype(np.float32)
+    freq = rng.integers(1, 3, size=(n_dyn, 1)).astype(np.float32)
+
+    def dyn_pos(t):
+        pos = dm0 + vel * t
+        if motion_amp > 0:
+            pos = pos + motion_amp * (
+                np.sin(2 * np.pi * freq * t + phase) - np.sin(phase))
+        return pos.astype(np.float32)
     ds = np.full((n_dyn, 3), 0.15, np.float32)
     do = np.full((n_dyn,), 0.9, np.float32)
     dc = rng.uniform(0.1, 0.9, size=(n_dyn, 3)).astype(np.float32)
@@ -71,7 +85,7 @@ def make_scene_views(n_static, n_dyn, n_frames, width, height, seed=5):
             np.array([np.cos(ang / 2), 0, np.sin(ang / 2), 0], np.float32),
             np.array([np.sin(ang) * 3.0, 0.0, 0.0], np.float32), 0.9, 0.7,
             time=t)
-        means = np.concatenate([sm, dm0 + vel * t])
+        means = np.concatenate([sm, dyn_pos(t)])
         scales = np.concatenate([ss, ds])
         opac = np.concatenate([so, do])
         cols = np.concatenate([sc, dc])
@@ -81,7 +95,7 @@ def make_scene_views(n_static, n_dyn, n_frames, width, height, seed=5):
                             1, cam, width, height)
         gold = composite_reference(splats, width, height)
         views.append((cam, np.asarray(gold["rendered_image"])))
-    return (sm, sc), (dm0, dc, vel), views
+    return (sm, sc), (dc, dyn_pos), views
 
 
 def perturb_c2ws(c2ws: np.ndarray, rot_deg: float, trans: float,
@@ -116,7 +130,7 @@ def write_scene(out, scene, width, height, pose_noise_rot_deg=0.0,
     from rodygs_tpu.ops.transforms import fov2focal
     from rodygs_tpu.utils.ply import write_ply
 
-    (sm, sc), (dm0, dc, vel), views = scene
+    (sm, sc), (dc, dyn_pos), views = scene
     root = Path(out)
     if root.exists():
         shutil.rmtree(root)
@@ -151,7 +165,7 @@ def write_scene(out, scene, width, height, pose_noise_rot_deg=0.0,
         Image.fromarray(mask).save(root / "tam_mask" / f"{i:06d}.png")
         write_ply(exp / "static" / f"{i:05d}.ply", sm, colors=sc)
         write_ply(exp / "dynamic" / f"{i:05d}.ply",
-                  dm0 + vel * float(cam.time), colors=dc)
+                  dyn_pos(float(cam.time)), colors=dc)
 
     fovx_deg = float(np.rad2deg(0.9))
     test_frames = [dict(f, file_path=f["file_path"].replace("train/", "test/"))
@@ -183,9 +197,13 @@ if __name__ == "__main__":
     parser.add_argument("--pose_noise_trans", type=float, default=0.0,
                         help="stddev of translation noise on the MASt3R "
                              "(training-init) poses")
+    parser.add_argument("--motion_amp", type=float, default=0.0,
+                        help="amplitude of nonlinear (sinusoidal) dynamic "
+                             "motion on top of the linear drift")
     args = parser.parse_args()
     _pin_cpu()
     scene = make_scene_views(args.n_static, args.n_dyn, args.frames,
-                             args.width, args.height)
+                             args.width, args.height,
+                             motion_amp=args.motion_amp)
     write_scene(args.out, scene, args.width, args.height,
                 args.pose_noise_rot_deg, args.pose_noise_trans)
