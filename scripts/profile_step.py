@@ -152,8 +152,11 @@ def main(args):
         print(f"[window {w}] {ms:.1f} ms/step", flush=True)
     med = float(np.median(wins))
     mpix = args.width * args.height / 1e6 / (med / 1e3)
-    print(f"[steady] {med:.1f} ms/step  ({mpix:.2f} Mpix/s fwd+bwd+adam)",
-          flush=True)
+    frag = m.get("num_fragments")
+    frag = int(frag) if frag is not None else -1
+    print(f"[steady] {med:.1f} ms/step  ({mpix:.2f} Mpix/s fwd+bwd+adam)  "
+          f"settled_profile={trainer.fragment_profile} "
+          f"last_demand={frag}", flush=True)
 
     if not args.no_trace:
         jax.profiler.start_trace(args.outdir)
@@ -179,4 +182,7 @@ if __name__ == "__main__":
     p.add_argument("--n", type=int, default=100_000)
     p.add_argument("--profile", default="lean",
                    help="fragment profile (lean/wide/huge or an integer)")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from rodygs_tpu.utils.platform import respect_jax_platforms_env
+    respect_jax_platforms_env()  # honor JAX_PLATFORMS despite sitecustomize
     main(p.parse_args())
