@@ -330,6 +330,30 @@ def main(args):
     except Exception:
         mem["peak_hbm_gb"] = None
 
+    # Fragment-demand comparison across binning modes at 1080p on the final
+    # trained state (decision input for making tight="rows" the default: its
+    # win over the AABB grows with footprint size; at 512^2 it is only ~9%).
+    def demand_for(mode):
+        from rodygs_tpu.render.binning import tile_grid
+        from rodygs_tpu.render.compact import build_binning
+        from rodygs_tpu.render.preprocess import preprocess
+
+        sp_ = st.state.store.params
+        tx_, ty_ = tile_grid(W, H)
+        splats = preprocess(
+            sp_.xyz, G.get_scaling(sp_), sp_.rotation, G.get_opacity(sp_),
+            G.get_features(sp_), 3, cams[0], W, H,
+            alive=st.state.store.alive)
+        cb = build_binning(splats, tx_, ty_, 1 << 23, tight=mode)
+        return int(cb.num_fragments)
+
+    try:
+        mem["fragment_demand_static_view0"] = {
+            "loose": demand_for(False), "tight": demand_for(True),
+            "rows": demand_for("rows")}
+    except Exception as e:  # diagnostic only — never fail the flagship run
+        mem["fragment_demand_static_view0"] = repr(e)[:200]
+
     result = {
         "workload": f"{W}x{H}, 2x{N} gaussians, full joint step "
                     "(static+dynamic+densify+pose-opt, 8-term dyn loss)",
