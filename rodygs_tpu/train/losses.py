@@ -234,10 +234,20 @@ _COEFF_BANK = {
 
 
 def motion_basis_reg(ctx, transl_degree: int = 0, rot_degree: int = 0,
-                     freq_div_mode: str = "vanilla", **_):
+                     freq_div_mode: str = "vanilla",
+                     apply_rot_matmul_derivative: bool = False, **_):
     """Velocity/acceleration smoothness of the motion basis over the full
     motion table, frequency-weighted per basis
-    (`MotionBasisRegularizaiton.forward`, `losses.py:488-525`)."""
+    (`MotionBasisRegularizaiton.forward`, `losses.py:488-525`).
+
+    Faithful-behavior note (quirk reproduced by default): the reference's
+    `derivate_motion` never passes `is_rot=True`, so the relative-rotation
+    matmul branch at `losses.py:483-485` is dead code and the rotation
+    "derivative" is elementwise matrix subtraction `R[t+1] - R[t]` — for
+    degree 0 that makes `||I - dR||_F` hover near sqrt(3) with only small
+    gradient terms. `apply_rot_matmul_derivative=True` opts into the
+    intended math (`dR = R[t+1] @ R[t]^T`, identity when motion is rigid
+    over time)."""
     table = ctx["motion_table"]  # [T, B, 7]
     # Degree-d derivatives need at least d+2 timesteps; with fewer the
     # difference arrays are empty and their mean is NaN.
@@ -261,7 +271,9 @@ def motion_basis_reg(ctx, transl_degree: int = 0, rot_degree: int = 0,
         return x
 
     def rot_deriv_once(r):
-        return jnp.einsum("tbij,tbkj->tbik", r[1:], r[:-1])
+        if apply_rot_matmul_derivative:
+            return jnp.einsum("tbij,tbkj->tbik", r[1:], r[:-1])
+        return r[1:] - r[:-1]  # faithful: reference's dead `is_rot` branch
 
     transl_d = deriv(transl, transl_degree)
     rot_d = rotm

@@ -152,6 +152,81 @@ class TestMotionTorchParity:
         np.testing.assert_allclose(np.asarray(rot),
                                    ref_rot.detach().numpy(), atol=5e-5)
 
+    def test_motion_basis_reg_matches_reference_forward(self):
+        """Transliteration of `MotionBasisRegularizaiton.forward`
+        (`src/trainer/losses.py:468-525`) incl. the faithful quirk: the
+        reference's `derivate_motion` never passes `is_rot=True`, so its
+        rotation "derivative" is elementwise matrix subtraction (the
+        matmul branch at `losses.py:483-485` is dead). Covers
+        rot_degree/transl_degree in {-1, 0, 1} x all 5 coeff banks."""
+        from rodygs_tpu.train.losses import _COEFF_BANK, motion_basis_reg
+
+        def torch_quat_to_matrix(q):
+            r, i, j, k = torch.unbind(q, -1)
+            two_s = 2.0 / (q * q).sum(-1)
+            o = torch.stack((
+                1 - two_s * (j * j + k * k), two_s * (i * j - k * r),
+                two_s * (i * k + j * r), two_s * (i * j + k * r),
+                1 - two_s * (i * i + k * k), two_s * (j * k - i * r),
+                two_s * (i * k - j * r), two_s * (j * k + i * r),
+                1 - two_s * (i * i + j * j)), -1)
+            return o.reshape(q.shape[:-1] + (3, 3))
+
+        def ref_forward(table_np, transl_degree, rot_degree, mode,
+                        use_matmul_rot=False):
+            table = torch.tensor(table_np, dtype=torch.float32)
+            transl, rotq = table[..., :3], table[..., 3:]
+            rotm = torch_quat_to_matrix(rotq.reshape(-1, 4)).reshape(
+                *rotq.shape[:-1], 3, 3)
+
+            def deriv(x, degree, is_rot=False):
+                for _ in range(degree):
+                    if is_rot and use_matmul_rot:
+                        x = x[1:] @ x[:-1].transpose(-1, -2)
+                    else:
+                        x = x[1:] - x[:-1]
+                return x
+
+            td = deriv(transl, transl_degree + 1)
+            rd = deriv(rotm, rot_degree + 1, is_rot=True)
+            coeff = torch.tensor(_COEFF_BANK[mode], dtype=torch.float32)
+            if mode != "vanilla":
+                coeff = coeff / coeff.max() * 1.3
+            coeff = coeff[: table.shape[1]]
+            tn = (torch.norm(td, dim=-1) * coeff[None]).mean()
+            rn = (torch.norm(torch.eye(3)[None, None] - rd, dim=(-1, -2))
+                  * coeff[None]).mean()
+            if transl_degree < 0:
+                tn = torch.zeros(())
+            if rot_degree < 0:
+                rn = torch.zeros(())
+            return float(tn + rn)
+
+        rng = np.random.default_rng(7)
+        T, B = 9, 16
+        table = rng.normal(0, 0.1, size=(T, B, 7)).astype(np.float32)
+        ctx = {"motion_table": jnp.asarray(table)}
+        for mode in _COEFF_BANK:
+            for td in (-1, 0, 1):
+                for rd in (-1, 0, 1):
+                    mine = float(motion_basis_reg(
+                        ctx, transl_degree=td, rot_degree=rd,
+                        freq_div_mode=mode))
+                    ref = ref_forward(table, td, rd, mode)
+                    np.testing.assert_allclose(mine, ref, atol=2e-5,
+                                               err_msg=f"{mode} td={td} rd={rd}")
+        # opt-in intended math: matches the matmul variant, not the faithful
+        for rd in (0, 1):
+            mine = float(motion_basis_reg(
+                ctx, transl_degree=0, rot_degree=rd,
+                freq_div_mode="cum_exponential",
+                apply_rot_matmul_derivative=True))
+            ref_mm = ref_forward(table, 0, rd, "cum_exponential",
+                                 use_matmul_rot=True)
+            ref_faithful = ref_forward(table, 0, rd, "cum_exponential")
+            np.testing.assert_allclose(mine, ref_mm, atol=2e-5)
+            assert abs(mine - ref_faithful) > 1e-3  # genuinely different
+
     def test_exact_gelu_not_tanh_approximation(self, net):
         """The reference's nn.GELU() is the exact erf form; the tanh
         approximation drifts ~3e-4 relative — enough to fail the 1e-5
