@@ -1,71 +1,147 @@
 """Convert torchvision + richzhang LPIPS checkpoints into the npz format
 `rodygs_tpu/evalsuite/lpips.py` consumes.
 
-Run once in an environment WITH network access / the torch checkpoints:
+Two modes:
 
-    python scripts/convert_lpips_weights.py --out lpips_weights.npz
+1. Online (an environment WITH network access / torchvision):
+
+       python scripts/convert_lpips_weights.py --out lpips_weights.npz
+
+2. Offline, from already-downloaded torch-hub checkpoint files (the exact
+   files torchvision/richzhang would fetch — no torchvision needed):
+
+       python scripts/convert_lpips_weights.py --out lpips_weights.npz \
+           --alex_pth ~/.cache/torch/hub/checkpoints/alexnet-owt-7be5be79.pth \
+           --vgg_pth  ~/.cache/torch/hub/checkpoints/vgg16-397923af.pth \
+           --heads_dir <dir containing richzhang v0.1 alex.pth + vgg.pth>
 
 then ship the npz and set RODYGS_LPIPS_WEIGHTS=/path/to/lpips_weights.npz.
 
 NPZ key contract (see lpips.py): `{net}/conv{i}/w` [O,I,kh,kw],
 `{net}/conv{i}/b` [O], `{net}/lin{i}/w` [C] plus `shift` [3], `scale` [3].
+
+Checkpoint layouts consumed in offline mode (pinned by
+`/root/reference/src/utils/eval_utils.py:219-266`):
+  * torchvision alexnet state dict: convs at `features.{0,3,6,8,10}`;
+  * torchvision vgg16 state dict: convs at
+    `features.{0,2,5,7,10,12,14,17,19,21,24,26,28}`;
+  * richzhang v0.1 heads: `lin{i}.model.1.weight` of shape [1, C, 1, 1].
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
+# torchvision `features` indices of the conv layers, in order.
+ALEX_FEATURE_CONV_IDX = [0, 3, 6, 8, 10]
+VGG16_FEATURE_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
 
-def main(out_path: str):
-    try:
-        import torch
-        import torchvision
-    except ImportError as e:
-        raise SystemExit(f"needs torch+torchvision with downloaded weights: {e}")
+# Expected conv weight shapes — a transposed/misordered checkpoint fails
+# loudly here instead of producing silently-wrong LPIPS values.
+ALEX_CONV_SHAPES = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+                    (256, 384, 3, 3), (256, 256, 3, 3)]
+VGG16_CONV_SHAPES = [
+    (64, 3, 3, 3), (64, 64, 3, 3), (128, 64, 3, 3), (128, 128, 3, 3),
+    (256, 128, 3, 3), (256, 256, 3, 3), (256, 256, 3, 3), (512, 256, 3, 3),
+    (512, 512, 3, 3), (512, 512, 3, 3), (512, 512, 3, 3), (512, 512, 3, 3),
+    (512, 512, 3, 3)]
+HEAD_CHANNELS = {"alex": [64, 192, 384, 256, 256],
+                 "vgg": [64, 128, 256, 512, 512]}
+
+
+def _convs_from_state_dict(arrays, net, sd, conv_idx, shapes):
+    import torch
+
+    for i, fi in enumerate(conv_idx):
+        w = sd[f"features.{fi}.weight"]
+        b = sd[f"features.{fi}.bias"]
+        if isinstance(w, torch.Tensor):
+            w, b = w.detach().cpu().numpy(), b.detach().cpu().numpy()
+        assert tuple(w.shape) == shapes[i], (
+            f"{net} conv{i} (features.{fi}) has shape {tuple(w.shape)}, "
+            f"expected {shapes[i]} — wrong/transposed checkpoint?")
+        arrays[f"{net}/conv{i}/w"] = np.asarray(w, np.float32)
+        arrays[f"{net}/conv{i}/b"] = np.asarray(b, np.float32)
+
+
+def _heads_from_state_dict(arrays, net, sd):
+    import torch
+
+    for i, c in enumerate(HEAD_CHANNELS[net]):
+        w = sd[f"lin{i}.model.1.weight"]
+        if isinstance(w, torch.Tensor):
+            w = w.detach().cpu().numpy()
+        assert tuple(w.shape) == (1, c, 1, 1), (
+            f"{net} lin{i} head has shape {tuple(w.shape)}, "
+            f"expected (1, {c}, 1, 1)")
+        # raw head weights (the reference applies the 1x1 conv as-is;
+        # richzhang v0.1 weights are non-negative already)
+        arrays[f"{net}/lin{i}/w"] = np.asarray(w, np.float32)[0, :, 0, 0]
+
+
+def convert(out_path: str, alex_pth: str | None = None,
+            vgg_pth: str | None = None, heads_dir: str | None = None):
+    import torch
 
     arrays: dict[str, np.ndarray] = {
-        # richzhang scaling layer constants
+        # richzhang scaling-layer constants (eval_utils.py:180-186)
         "shift": np.array([-0.030, -0.088, -0.188], np.float32),
         "scale": np.array([0.458, 0.448, 0.450], np.float32),
     }
 
-    # AlexNet backbone convs
-    alex = torchvision.models.alexnet(weights="IMAGENET1K_V1").features
-    conv_idx = 0
-    for m in alex:
-        if isinstance(m, torch.nn.Conv2d):
-            arrays[f"alex/conv{conv_idx}/w"] = m.weight.detach().numpy()
-            arrays[f"alex/conv{conv_idx}/b"] = m.bias.detach().numpy()
-            conv_idx += 1
-
-    # VGG16 backbone convs
-    vgg = torchvision.models.vgg16(weights="IMAGENET1K_V1").features
-    conv_idx = 0
-    for m in vgg:
-        if isinstance(m, torch.nn.Conv2d):
-            arrays[f"vgg/conv{conv_idx}/w"] = m.weight.detach().numpy()
-            arrays[f"vgg/conv{conv_idx}/b"] = m.bias.detach().numpy()
-            conv_idx += 1
+    if alex_pth or vgg_pth:  # offline: raw torch-hub checkpoint files
+        if alex_pth:
+            sd = torch.load(alex_pth, map_location="cpu", weights_only=True)
+            _convs_from_state_dict(arrays, "alex", sd,
+                                   ALEX_FEATURE_CONV_IDX, ALEX_CONV_SHAPES)
+        if vgg_pth:
+            sd = torch.load(vgg_pth, map_location="cpu", weights_only=True)
+            _convs_from_state_dict(arrays, "vgg", sd,
+                                   VGG16_FEATURE_CONV_IDX, VGG16_CONV_SHAPES)
+    else:
+        try:
+            import torchvision
+        except ImportError as e:
+            raise SystemExit(
+                f"no torchvision ({e}) — pass --alex_pth/--vgg_pth to "
+                "convert from downloaded checkpoint files instead")
+        _convs_from_state_dict(
+            arrays, "alex",
+            torchvision.models.alexnet(weights="IMAGENET1K_V1").state_dict(),
+            ALEX_FEATURE_CONV_IDX, ALEX_CONV_SHAPES)
+        _convs_from_state_dict(
+            arrays, "vgg",
+            torchvision.models.vgg16(weights="IMAGENET1K_V1").state_dict(),
+            VGG16_FEATURE_CONV_IDX, VGG16_CONV_SHAPES)
 
     # richzhang linear heads (v0.1)
-    base = "https://raw.githubusercontent.com/richzhang/PerceptualSimilarity/master/lpips/weights/v0.1"
     for net in ("alex", "vgg"):
-        sd = torch.hub.load_state_dict_from_url(f"{base}/{net}.pth",
-                                                map_location="cpu")
-        for i in range(5):
-            w = sd[f"lin{i}.model.1.weight"].detach().numpy()
-            # raw head weights (the reference applies the 1x1 conv as-is;
-            # richzhang v0.1 weights are non-negative already)
-            arrays[f"{net}/lin{i}/w"] = w[0, :, 0, 0]
+        if heads_dir:
+            sd = torch.load(os.path.join(heads_dir, f"{net}.pth"),
+                            map_location="cpu", weights_only=True)
+        else:
+            base = ("https://raw.githubusercontent.com/richzhang/"
+                    "PerceptualSimilarity/master/lpips/weights/v0.1")
+            sd = torch.hub.load_state_dict_from_url(f"{base}/{net}.pth",
+                                                    map_location="cpu")
+        _heads_from_state_dict(arrays, net, sd)
 
     np.savez(out_path, **arrays)
     print(f"wrote {out_path} with {len(arrays)} arrays")
+    return arrays
 
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="lpips_weights.npz")
+    parser.add_argument("--alex_pth", default=None,
+                        help="local torchvision alexnet checkpoint (.pth)")
+    parser.add_argument("--vgg_pth", default=None,
+                        help="local torchvision vgg16 checkpoint (.pth)")
+    parser.add_argument("--heads_dir", default=None,
+                        help="dir with richzhang v0.1 alex.pth + vgg.pth")
     args = parser.parse_args()
-    main(args.out)
+    convert(args.out, args.alex_pth, args.vgg_pth, args.heads_dir)

@@ -204,7 +204,8 @@ def train_config(scene_dir):
 
 
 class TestFullPipeline:
-    def test_train_and_eval_cli(self, scene_dir, train_config, tmp_path):
+    def test_train_and_eval_cli(self, scene_dir, train_config, tmp_path,
+                                monkeypatch):
         cfg_path = tmp_path / "cfg.yaml"
         with open(cfg_path, "w") as f:
             yaml.dump(train_config, f)
@@ -227,6 +228,18 @@ class TestFullPipeline:
         # trained-fov test cameras)
         from rodygs_tpu.pipelines import eval as eval_cli
 
+        # LPIPS reportability: with a weights npz present (here: random
+        # values in the converter's layout — real weights are a drop-in,
+        # see scripts/convert_lpips_weights.py), result.yaml must carry
+        # lpipsa/lpipsv like the reference's (eval_utils.py:46-53).
+        from test_eval import TestLpipsParity
+        rng = np.random.default_rng(9)
+        _, alex_arrays = TestLpipsParity._make_weights("alex", tmp_path, rng)
+        _, vgg_arrays = TestLpipsParity._make_weights("vgg", tmp_path, rng)
+        both = tmp_path / "lpips_weights.npz"
+        np.savez(both, **{**alex_arrays, **vgg_arrays})
+        monkeypatch.setenv("RODYGS_LPIPS_WEIGHTS", str(both))
+
         from pathlib import Path as _P
         repo = _P(__file__).resolve().parents[1]
         eval_cli.main([
@@ -239,6 +252,8 @@ class TestFullPipeline:
             result = yaml.safe_load(f)
         assert "psnr" in result["viz"]
         assert result["viz"]["psnr"] > 10.0
+        assert np.isfinite(result["viz"]["lpipsa"])
+        assert np.isfinite(result["viz"]["lpipsv"])
         assert "ATE" in result["pose"]
         assert np.isfinite(result["pose"]["ATE"])
 
