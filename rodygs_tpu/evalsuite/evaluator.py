@@ -219,7 +219,10 @@ class RoDyGSEvaluator:
     # --- main loop ---------------------------------------------------------
 
     def eval(self, eval_batch_size: int = 8) -> dict:
+        from ..parallel.multihost import is_primary
         from ..render.camera import make_camera
+
+        primary = is_primary()  # multi-host: one writer for PNGs/yaml/mp4
 
         # 1) resolve every test camera (incl. optional per-view pose opt)
         views = []
@@ -272,9 +275,10 @@ class RoDyGSEvaluator:
                 score = self.viz_evaluator.get_score(gt, pred)
                 for k, v in score.items():
                     scores.setdefault(k, []).append(v)
-                name = f"{str(idx).zfill(5)}_{frame['image_name']}.png"
-                self.gt_storer(name, gt)
-                self.pred_storer(name, pred)
+                if primary:
+                    name = f"{str(idx).zfill(5)}_{frame['image_name']}.png"
+                    self.gt_storer(name, gt)
+                    self.pred_storer(name, pred)
 
         def _mean(vals):
             arr = np.asarray(vals, np.float64)
@@ -299,11 +303,12 @@ class RoDyGSEvaluator:
         result["pose"] = {k: float(pose_scores[k])
                           for k in ("ATE", "RPE_trans", "RPE_rot")}
 
-        with open(self.out_path / "result.yaml", "w") as f:
-            yaml.dump(result, f)
-        # PNG writes are asynchronous; barrier before the video reads them
-        self.gt_storer.flush()
-        self.pred_storer.flush()
-        write_video(self.out_path / "pred" / "viz",
-                    self.out_path / "video.mp4")
+        if primary:
+            with open(self.out_path / "result.yaml", "w") as f:
+                yaml.dump(result, f)
+            # PNG writes are asynchronous; barrier before the video reads
+            self.gt_storer.flush()
+            self.pred_storer.flush()
+            write_video(self.out_path / "pred" / "viz",
+                        self.out_path / "video.mp4")
         return result

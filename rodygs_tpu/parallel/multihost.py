@@ -24,6 +24,19 @@ from __future__ import annotations
 import os
 
 
+def is_primary() -> bool:
+    """True when this process owns shared-filesystem writes (checkpoints,
+    code snapshots, eval PNGs/result.yaml, videos).
+
+    Multi-host runs share one logdir; without this gate every process
+    would race the same `resume.ckpt`/`static_last.ckpt`/PNG paths (N×
+    writes, torn files). The reference is single-process and has no
+    equivalent. Single-process runs: trivially True."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def maybe_initialize_distributed(logger=None) -> bool:
     """Initialize multi-process JAX when launched under a multi-host
     runtime; no-op otherwise.

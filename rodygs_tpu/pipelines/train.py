@@ -29,9 +29,12 @@ def check_argument_sanity(args) -> None:
         assert os.path.isfile(cfg), f"config does not exist: {cfg}"
 
 
-def set_traindir(args) -> Path:
+def set_traindir(args, primary: bool = True) -> Path:
     logdir = Path(args.logdir) / args.group / f"{args.name}_{args.seed}" / "train"
-    logdir.mkdir(parents=True, exist_ok=args.debug or args.resume)
+    # collision protection applies to the one writing process; secondary
+    # multi-host processes attach to the primary's logdir
+    logdir.mkdir(parents=True,
+                 exist_ok=args.debug or args.resume or not primary)
     return logdir
 
 
@@ -145,10 +148,17 @@ def main(argv=None):
     config = override_config(config, args.num_iterations)
 
     seed_all(args.seed)
-    logdir = set_traindir(args)
-    logger = set_logger(logdir)
-    store_args_and_config(logdir, args, config)
-    store_code(logdir)
+    from ..parallel.multihost import is_primary
+    primary = is_primary()
+    logdir = set_traindir(args, primary=primary)
+    # each process logs to its own file (train.log / train.p<i>.log) —
+    # interleaved appends to one shared file tear lines
+    import jax
+    log_name = "train" if primary else f"train.p{jax.process_index()}"
+    logger = set_logger(logdir, name=log_name)
+    if primary:
+        store_args_and_config(logdir, args, config)
+        store_code(logdir)
 
     mesh = parse_mesh_arg(args.mesh) if args.mesh else None
     if mesh is not None:

@@ -235,8 +235,11 @@ class RoDyGSTrainer:
         return metrics
 
     def save_checkpoints(self, iteration: int):
+        from ..parallel.multihost import is_primary
         from ..utils.checkpoint import save_checkpoint
 
+        if not is_primary():  # multi-host: exactly one writer per logdir
+            return
         assert self.logdir is not None
         self.logdir.mkdir(parents=True, exist_ok=True)
         save_checkpoint(self.logdir / "static_last.ckpt",
@@ -249,8 +252,11 @@ class RoDyGSTrainer:
     # at the END of training and has no resume path — SURVEY.md §5.4) -------
 
     def save_resume(self, path, iteration: int, key):
+        from ..parallel.multihost import is_primary
         from ..utils.checkpoint import save_checkpoint
 
+        if not is_primary():  # multi-host: exactly one writer per logdir
+            return
         payload = {
             "iteration": iteration,
             "rng_key": jax.random.key_data(key),

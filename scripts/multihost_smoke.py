@@ -50,11 +50,35 @@ def worker(pid: int) -> None:
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+    # --- filesystem discipline: exactly one writer per shared logdir ------
+    fsdir = Path(os.environ["SMOKE_FS_DIR"])
+    from rodygs_tpu.parallel.multihost import is_primary
+    from rodygs_tpu.utils.checkpoint import save_checkpoint
+
+    if is_primary():
+        assert jax.process_index() == 0
+        save_checkpoint(fsdir / "static_last.ckpt", {"writer": pid}, 1)
+    else:
+        # drive the REAL gates on an uninitialized instance: if the
+        # is_primary early-return were removed, these would raise
+        # AttributeError (no self.static / self.logdir) or write files
+        from rodygs_tpu.train.trainer_joint import RoDyGSTrainer
+
+        dummy = RoDyGSTrainer.__new__(RoDyGSTrainer)
+        dummy.save_resume(fsdir / "resume.ckpt", 1, None)
+        dummy.save_checkpoints(1)
+        assert not (fsdir / "resume.ckpt").exists(), \
+            "non-primary process wrote resume.ckpt"
     print(f"[worker {pid}] OK", flush=True)
 
 
 def launch() -> int:
+    import tempfile
+
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    fsdir = tempfile.mkdtemp(prefix="multihost_fs_")
+    env["SMOKE_FS_DIR"] = fsdir
     procs = [
         subprocess.Popen(
             [sys.executable, __file__, "--worker", str(pid)],
@@ -69,6 +93,23 @@ def launch() -> int:
         tail = "\n".join(out.strip().splitlines()[-6:])
         print(f"--- worker {pid} (rc={p.returncode}) ---\n{tail}", flush=True)
         rc |= 0 if ok else 1
+
+    # exactly-one-writer assertion: the primary's checkpoint exists and
+    # records process 0; nothing else wrote to the shared dir
+    written = sorted(os.path.basename(f) for f in Path(fsdir).iterdir())
+    if written != ["static_last.ckpt"]:
+        print(f"FS DISCIPLINE VIOLATION: shared dir holds {written}",
+              flush=True)
+        rc |= 1
+    else:
+        sys.path.insert(0, str(REPO))
+        from rodygs_tpu.utils.checkpoint import load_checkpoint
+
+        sd, _ = load_checkpoint(Path(fsdir) / "static_last.ckpt")
+        if sd["writer"] != 0:
+            print(f"FS DISCIPLINE VIOLATION: writer was {sd['writer']}",
+                  flush=True)
+            rc |= 1
     print("MULTIHOST_SMOKE " + ("PASS" if rc == 0 else "FAIL"), flush=True)
     return rc
 

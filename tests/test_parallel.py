@@ -532,6 +532,35 @@ class TestMultihostBootstrap:
             out.stdout[-2000:], out.stderr[-2000:])
 
 
+class TestMultihostFsDiscipline:
+    """Shared-logdir write gates (VERDICT r2 missing #5): on a multi-host
+    run only process 0 writes checkpoints / resume snapshots / eval
+    artifacts. Simulated here by patching jax.process_index; the
+    2-OS-process smoke above asserts the same thing against the real
+    distributed runtime."""
+
+    def test_save_gates_closed_for_secondary(self, monkeypatch, tmp_path):
+        import jax
+
+        from rodygs_tpu.train.trainer_joint import RoDyGSTrainer
+
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        # uninitialized instance: if the gate were gone, the missing
+        # self.static / self.logdir would raise AttributeError
+        dummy = RoDyGSTrainer.__new__(RoDyGSTrainer)
+        dummy.save_resume(tmp_path / "resume.ckpt", 3, None)
+        dummy.save_checkpoints(3)
+        assert list(tmp_path.iterdir()) == []
+
+    def test_save_gates_open_for_primary(self, monkeypatch, tmp_path):
+        import jax
+
+        from rodygs_tpu.parallel.multihost import is_primary
+
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        assert is_primary()
+
+
 class TestShardedRenderKnobs:
     """The A/B render knobs (bf16 payload, post-sort record gather) must
     behave identically inside the tile-sharded shard_map path: gather mode
