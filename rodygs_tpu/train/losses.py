@@ -143,14 +143,23 @@ def rigidity(ctx, scale: float = 2.0, K: int = 8, sim_metric: str = "l2",
     valid = alive[idx]
 
     pts = xyz[idx] + transl[idx]
-    dists, nn_idx = knn(pts, pts, k=K, valid_mask=valid)
+    # KNN discovers neighbor INDICES only (stop-gradient): autodiff through
+    # the blocked-knn lax.scan would stack every block's [S, B] distance
+    # matrix as residuals — 64 GiB at flagship capacity (S=131072, 32
+    # blocks). The K squared distances are recomputed below from gathered
+    # positions, differentiably, at O(S*K) memory; same values as the knn
+    # output up to fp association (the dot-product identity vs the direct
+    # difference).
+    pts_ng = jax.lax.stop_gradient(pts)
+    _, nn_idx = knn(pts_ng, pts_ng, k=K, valid_mask=valid)
+    nn_pts = knn_gather(pts, nn_idx)  # [S, K, 3]
+    dists = jnp.sum((pts[:, None, :] - nn_pts) ** 2, axis=-1)  # [S, K]
     dists = jnp.where(valid[:, None], dists, 0.0)
     vcount = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
 
     total = jnp.zeros(())
 
     if "surface" in mode:
-        nn_pts = knn_gather(pts, nn_idx)  # [S, K, 3]
         mean_nn = jnp.mean(nn_pts, axis=1)
         d = _safe_norm(pts - mean_nn, axis=1)
         total = total + jnp.sum(jnp.where(valid, d, 0.0)) / vcount

@@ -116,7 +116,16 @@ def bench_mesh(shape, store, poses, frames, width, height, iters,
                                                  init_static_state)
 
     n_data, n_gauss, n_tile = shape
-    mesh = make_mesh(n_data=n_data, n_tile=n_tile, n_gauss=n_gauss)
+    used = n_data * n_gauss * n_tile
+    if used == jax.device_count():
+        mesh = make_mesh(n_data=n_data, n_tile=n_tile, n_gauss=n_gauss)
+    else:
+        # sub-mesh (e.g. the 1-device baseline on an 8-device slice)
+        from jax.sharding import Mesh
+
+        mesh = Mesh(
+            np.array(jax.devices()[:used]).reshape(n_data, n_gauss, n_tile),
+            ("data", "gauss", "tile"))
     loss = MultiLoss([LossTerm("l1", 0.8, "L1Loss"),
                       LossTerm("d_ssim", 0.2, "SSIMLoss")])
     cfg = StaticTrainerConfig(
@@ -132,10 +141,17 @@ def bench_mesh(shape, store, poses, frames, width, height, iters,
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         gsh = NamedSharding(mesh, P("gauss"))
+        rep = NamedSharding(mesh, P())
+
+        def put_gauss(tree):  # scalars (e.g. Adam step count) stay replicated
+            return jax.tree.map(
+                lambda x: jax.device_put(
+                    x, gsh if getattr(x, "ndim", 0) >= 1 else rep), tree)
+
         state = state._replace(
-            store=jax.device_put(state.store, gsh),
-            opt=jax.device_put(state.opt, gsh),
-            stats=jax.device_put(state.stats, gsh))
+            store=put_gauss(state.store),
+            opt=put_gauss(state.opt),
+            stats=put_gauss(state.stats))
 
     batch = stack_batches([frames[i % len(frames)] for i in range(n_data)])
     active = loss.active_set(1)

@@ -678,3 +678,49 @@ class TestShrinkDuringTraining:
         assert trainer.fragment_profile < fragment_capacity(256, "lean")
         assert np.isfinite(float(m["loss"]))
         assert int(m["dropped"]) == 0
+
+
+class TestRigidityMemory:
+    """The rigidity backward must NOT differentiate through the blocked-KNN
+    lax.scan: autodiff residuals there stack every block's [S, B] distance
+    matrix — 64 GiB at flagship capacity (observed as a real HBM OOM at
+    1080p/262k: f32[32,131072,4096]). Neighbor indices come from a
+    stop-gradient'd knn; distances are recomputed at O(S*K)."""
+
+    def test_no_blockwise_scan_residuals_in_grad(self):
+        from rodygs_tpu.train.losses import rigidity
+
+        n, b = 16384, 4  # sample s=8192 queries, 2 knn blocks of 4096
+        rng = np.random.default_rng(0)
+        ctx = {
+            "canon_xyz": jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+            "pred_translation": jnp.asarray(
+                rng.normal(0, 0.01, size=(n, 3)), jnp.float32),
+            "motion_coeff": jnp.asarray(
+                rng.normal(0, 0.1, size=(n, 1, b)), jnp.float32),
+            "features_dc": jnp.asarray(
+                rng.uniform(size=(n, 1, 3)), jnp.float32),
+            "alive": jnp.ones(n, bool),
+            "motion_table": jnp.asarray(
+                rng.normal(0, 0.01, size=(6, b, 7)), jnp.float32),
+            "rng": jax.random.key(0),
+        }
+
+        def f(transl):
+            c = dict(ctx)
+            c["pred_translation"] = transl
+            return rigidity(c, mode=("distance_preserving", "surface",
+                                     "coeff"))
+
+        jaxpr = jax.make_jaxpr(jax.grad(f))(ctx["pred_translation"])
+        s = n // 2
+        bad = [v.aval.shape
+               for eqn in jaxpr.jaxpr.eqns for v in eqn.outvars
+               if getattr(v.aval, "shape", None) is not None
+               and len(v.aval.shape) == 3
+               and v.aval.shape[1:] == (s, 4096)]
+        assert not bad, f"blockwise knn residuals reappeared: {bad}"
+        # grads stay finite and nonzero
+        g = jax.grad(f)(ctx["pred_translation"])
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
