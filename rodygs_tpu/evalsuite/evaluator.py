@@ -287,6 +287,18 @@ class RoDyGSEvaluator:
             return float(np.nanmean(arr))
 
         result = {"viz": {k: _mean(v) for k, v in scores.items()}}
+        from .metrics import ms_ssim_levels
+
+        levels = ms_ssim_levels(self.image_height, self.image_width)
+        if levels < 5:
+            # adaptive MS-SSIM dropped scales (metrics.ms_ssim): values are
+            # internally consistent but NOT comparable to fixed-5-scale
+            # implementations (piqa / the reference) — say so loudly
+            result["viz"]["msssim_levels"] = levels
+            result["viz"]["msssim_note"] = (
+                f"image {self.image_width}x{self.image_height} supports only "
+                f"{levels}/5 MS-SSIM scales; msssim/dssim are renormalized "
+                "over the retained scales and not piqa-comparable")
         # render wall-clock (incl. the one compile) so eval throughput is
         # always reported; the reference loops one view at a time with a
         # host sync each (`eval.py:299-316`)

@@ -65,6 +65,19 @@ def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
     return img.reshape(h2, 2, w2, 2, -1).mean(axis=(1, 3))
 
 
+def ms_ssim_levels(height: int, width: int) -> int:
+    """Scale count the adaptive MS-SSIM uses for an image of these dims:
+    each level needs the 11-tap window to fit after the 2x downsamplings.
+    Below 5 levels the msssim/dssim values are NOT piqa-comparable (piqa's
+    fixed-5-scale form is NaN there) — the evaluator flags this in
+    result.yaml."""
+    min_dim = min(height, width)
+    levels = 1
+    while levels < len(_MSSSIM_WEIGHTS) and (min_dim >> levels) >= 11:
+        levels += 1
+    return levels
+
+
 def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
     """MS-SSIM (Wang et al. 2003), piqa-compatible 5-scale weights.
 
@@ -72,10 +85,7 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
     to fit after the 2x downsamplings (the fixed-5-scale form is NaN below
     176 px; small validation crops are legitimate inputs here). Weights are
     renormalized over the retained scales."""
-    min_dim = min(img1.shape[0], img1.shape[1])
-    levels = 1
-    while levels < len(_MSSSIM_WEIGHTS) and (min_dim >> levels) >= 11:
-        levels += 1
+    levels = ms_ssim_levels(img1.shape[0], img1.shape[1])
     weights = np.asarray(_MSSSIM_WEIGHTS[:levels])
     weights = weights / weights.sum()
     mcs = []
