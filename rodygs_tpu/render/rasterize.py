@@ -59,15 +59,26 @@ _FWD_RECORDS = os.environ.get("RODYGS_FWD_RECORDS", "sort")
 # summation order (~1 ulp) with fewer fragments, so ON by default;
 # RODYGS_TIGHT_RECT=0 is the A/B kill-switch (the OFF side reproduces the
 # reference's circle-rect demand). RODYGS_TIGHT_RECT=rows additionally
-# enumerates exact per-tile-row ellipse spans (compact.ellipse_row_spans),
-# ~2x fewer fragments again — hardware-validation pending, so not yet the
-# default.
-_TIGHT_ENV = os.environ.get("RODYGS_TIGHT_RECT", "1")
-if _TIGHT_ENV not in ("0", "1", "rows"):
+# enumerates exact per-tile-row ellipse spans (compact.ellipse_row_spans).
+# Hardware A/B (v5e, r3 — logs/ab_r3): rows is -34% step time (+52%
+# throughput) at 1920x1080/240k (225.3 vs 343.6 ms, demand 4.71M vs 5.47M)
+# but +1.4% at 512^2/100k (29.5 vs 29.1 ms) where the span-enumeration
+# overhead outweighs the 9% fragment cut. Default is therefore ADAPTIVE:
+# rows when the tile grid is large (>= _ROWS_AUTO_TILES tiles, e.g. any
+# 1080p render at 8160 tiles), alpha-AABB below (512^2 = 1024 tiles).
+# An explicit RODYGS_TIGHT_RECT always wins.
+_TIGHT_ENV = os.environ.get("RODYGS_TIGHT_RECT", "auto")
+if _TIGHT_ENV not in ("0", "1", "rows", "auto"):
     raise ValueError(
-        f"RODYGS_TIGHT_RECT={_TIGHT_ENV!r}: expected '0', '1', or 'rows' "
-        "(a typo here would silently mis-label an A/B measurement)")
-_TIGHT_RECT = "rows" if _TIGHT_ENV == "rows" else (_TIGHT_ENV != "0")
+        f"RODYGS_TIGHT_RECT={_TIGHT_ENV!r}: expected '0', '1', 'rows', or "
+        "'auto' (a typo here would silently mis-label an A/B measurement)")
+_ROWS_AUTO_TILES = 4096
+
+
+def _default_tight(num_tiles: int):
+    if _TIGHT_ENV == "auto":
+        return "rows" if num_tiles >= _ROWS_AUTO_TILES else True
+    return "rows" if _TIGHT_ENV == "rows" else (_TIGHT_ENV != "0")
 
 
 def default_fragment_budget(image_width: int, image_height: int, n: int) -> int:
@@ -201,7 +212,7 @@ def render(
     if binning_mode == "compact":
         n = splats.mean2d.shape[1]
         capacity = fragment_capacity(n, fragment_profile)
-        tight = _TIGHT_RECT if tight_rect is None else tight_rect
+        tight = _default_tight(num_tiles) if tight_rect is None else tight_rect
         cb = build_binning(splats, tiles_x, tiles_y, capacity, tight=tight)
         nw = padded_width(n)
         rec13 = jnp.concatenate(

@@ -133,6 +133,9 @@ def timed_window(trainer, batch_for, key, steps, base_iter):
 def main(args):
     import jax
 
+    from rodygs_tpu.utils.profiling import enable_persistent_compile_cache
+    enable_persistent_compile_cache()  # reruns of the same knobs skip compiles
+
     profile = int(args.profile) if args.profile.isdigit() else args.profile
     trainer, batch_for = build_trainer(args.width, args.height, args.n,
                                        profile)
