@@ -154,11 +154,23 @@ class EscalationPoller:
     (iteration > 100), the fit must be at least one full grid step below
     the current capacity, and TWO consecutive polls must agree (the larger
     of their fits wins). Escalation always takes precedence.
+
+    Initial demand fit: the FIRST due poll (iteration 5) may shrink
+    immediately, bypassing the steady-state guards. Trainers start on the
+    "lean" 6N ladder tier, but the very first step already reports exact
+    demand — when that fit sits a full grid step below the tier, waiting
+    for the iteration>100 hysteresis pays the oversized sort/expand/
+    segsum/compositing extent for hundreds of iterations (measured on the
+    1080p flagship run: both stages sat on lean ~2x their fitted capacity
+    for 345 of 400 iterations). Demand typically GROWS early (densify,
+    opacity still high), so an under-fit self-corrects through the normal
+    overflow escalation path at the next 5-iteration poll.
     """
 
     def __init__(self, allow_shrink: bool = True):
         self._probe = None
         self._shrink_fit = None
+        self._initial_fit_pending = True
         self.allow_shrink = allow_shrink
 
     def poll(self, iteration: int, metrics: dict, capacity: int,
@@ -171,15 +183,26 @@ class EscalationPoller:
         self._probe = metrics
         if bool(probe["overflow"]):
             self._shrink_fit = None
+            self._initial_fit_pending = False
             wider = profile_for_demand(
                 capacity, int(probe["num_fragments"]), profile)
             if wider is not None:
                 self._probe = None
             return wider
-        if not self.allow_shrink or iteration <= 100:
+        if not self.allow_shrink:
             return None
         cur = fragment_capacity(capacity, profile)
         fit = fit_capacity(capacity, int(probe["num_fragments"]))
+        if self._initial_fit_pending:
+            # one-time immediate fit off the first observed step demand
+            # (see class docstring); later polls keep the hysteresis.
+            self._initial_fit_pending = False
+            if fit * 3 // 2 <= cur:
+                self._probe = None
+                return fit
+            return None
+        if iteration <= 100:
+            return None
         if fit * 3 // 2 > cur:   # less than one grid step below: keep
             self._shrink_fit = None
             return None

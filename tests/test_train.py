@@ -554,8 +554,10 @@ class TestEscalationPoller:
     def test_deferred_snapshot_drives_later_polls(self):
         from rodygs_tpu.train.trainer_static import EscalationPoller
         p = EscalationPoller()
-        # first poll: no overflow -> stores the clean snapshot
-        assert p.poll(25, self._m(False, 0), 256, "lean") is None
+        # first poll: no overflow -> stores the clean snapshot (demand 700
+        # fits "lean" snugly so the initial demand fit has nothing to do:
+        # fit_capacity(256, 700) == fragment_capacity(256, "lean") == 1536)
+        assert p.poll(25, self._m(False, 700), 256, "lean") is None
         # second poll: CURRENT step overflows, but the poller acts on the
         # previous (clean) snapshot -> no escalation yet, no stale read
         assert p.poll(50, self._m(True, 10_000), 256, "lean") is None
@@ -596,36 +598,62 @@ class TestCapacityShrink:
         fit = fit_capacity(n, demand)                # ~340k: well below
         assert fit * 3 // 2 <= lean
         p = EscalationPoller()
-        # seed the probe (iteration 125 stores, acts on itself first)
+        # consume the one-time initial fit with a snug first poll
+        # (fit_capacity(n, 494290) = 818176 > lean: nothing to shrink to)
+        assert p.poll(5, self._m(False, 494_290), n, "lean") is None
+        # steady state, deferred snapshots: poll 125 still acts on the
+        # stored snug snapshot, 150 banks the first agreeing low-demand
+        # fit, 175 confirms it
         assert p.poll(125, self._m(False, demand), n, "lean") is None
-        got = p.poll(150, self._m(False, demand), n, "lean")
+        assert p.poll(150, self._m(False, demand), n, "lean") is None
+        got = p.poll(175, self._m(False, demand), n, "lean")
         assert got == fit
         # after the shrink, demand fits snugly -> no further change
-        assert p.poll(175, self._m(False, demand), n, got) is None
         assert p.poll(200, self._m(False, demand), n, got) is None
+        assert p.poll(225, self._m(False, demand), n, got) is None
 
-    def test_no_shrink_early_or_when_snug(self):
+    def test_initial_fit_then_no_early_shrink(self):
+        """The FIRST due poll fits capacity to the observed demand
+        immediately (trainers start on the oversized lean tier); later
+        early-phase polls never shrink, and allow_shrink=False disables
+        the initial fit too."""
+        from rodygs_tpu.render.compact import fit_capacity
         from rodygs_tpu.train.trainer_static import EscalationPoller
         n = 131072
         p = EscalationPoller()
-        # early phase: polls happen but never shrink
-        for it in (25, 30, 35, 40):
-            assert p.poll(it, self._m(False, 1000), n, "lean") is None
+        got = p.poll(25, self._m(False, 1000), n, "lean")
+        assert got == fit_capacity(n, 1000)
+        # demand halves again: early-phase polls still never shrink
+        for it in (30, 35, 40, 100):
+            assert p.poll(it, self._m(False, 500), n, got) is None
         p2 = EscalationPoller(allow_shrink=False)
+        assert p2.poll(25, self._m(False, 1000), n, "lean") is None
         assert p2.poll(125, self._m(False, 1000), n, "lean") is None
         assert p2.poll(150, self._m(False, 1000), n, "lean") is None
+
+    def test_initial_fit_consumed_by_overflow(self):
+        """An overflowing first poll escalates (demand-fitted tier) and
+        consumes the initial fit: a later clean early-phase poll must not
+        shrink below the just-escalated capacity."""
+        from rodygs_tpu.render.compact import fragment_capacity
+        from rodygs_tpu.train.trainer_static import EscalationPoller
+        n = 131072
+        p = EscalationPoller()
+        wider = p.poll(5, self._m(True, 2 * 10**6), n, "lean")
+        assert wider is not None
+        assert fragment_capacity(n, wider) >= 2 * 10**6
+        assert p.poll(10, self._m(False, 1000), n, wider) is None
 
     def test_escalation_recovers_after_shrink(self):
         from rodygs_tpu.render.compact import fragment_capacity
         from rodygs_tpu.train.trainer_static import EscalationPoller
         n = 131072
         p = EscalationPoller()
-        assert p.poll(125, self._m(False, 150_000), n, "lean") is None
-        got = p.poll(150, self._m(False, 150_000), n, "lean")
-        assert isinstance(got, int)                      # shrank
+        got = p.poll(125, self._m(False, 150_000), n, "lean")
+        assert isinstance(got, int)                      # initial fit shrank
         # demand explodes after the shrink: the (synchronous, probe was
         # reset) next poll escalates straight past the shrunk capacity
-        wider = p.poll(175, self._m(True, 10**6), n, got)
+        wider = p.poll(150, self._m(True, 10**6), n, got)
         assert wider is not None
         assert fragment_capacity(n, wider) >= 10**6
 
@@ -649,8 +677,8 @@ class TestCapacityShrink:
 class TestShrinkDuringTraining:
     def test_capacity_shrinks_in_steady_state(self):
         """A small scene on 'lean' (6N) has demand far below capacity: the
-        trainer re-jits down to a fitted integer capacity after the polls
-        at iterations 125/150, and training stays finite and drop-free."""
+        trainer re-jits down to a fitted integer capacity (initial demand
+        fit at the first poll), and training stays finite and drop-free."""
         from rodygs_tpu.render.compact import fragment_capacity
         (gt_means, gt_cols), views = make_gt_scene()
         store = G.from_point_cloud(gt_means, gt_cols, sh_degree=1,
