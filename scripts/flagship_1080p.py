@@ -360,6 +360,14 @@ def main(args):
         "steps": args.iters,
         "step_ms_median": round(steady * 1e3, 1),
         "mpix_per_s_fwd_bwd": round(mpix_s, 3),
+        # full 50-iter window trajectory: escalation/shrink recompiles show
+        # up as spikes; the last windows are the fitted-capacity steady
+        # state (the median above is conservative — it includes windows
+        # spent on pre-fit capacity tiers).
+        "window_ms": [round(t * 1e3, 1) for t in window_times],
+        "step_ms_last_window": round(window_times[-1] * 1e3, 1),
+        "mpix_per_s_last_window": round(
+            2 * (W * H / 1e6) / window_times[-1], 3),
         "train_wall_s": round(train_s, 1),
         "escalations": escalations,
         "final_profiles": [st.fragment_profile, joint.dyn_fragment_profile],
