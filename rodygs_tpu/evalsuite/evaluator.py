@@ -248,6 +248,7 @@ class RoDyGSEvaluator:
             self._fit_fragment_profile(views[0][2])
         scores: dict[str, list] = {}
         render_s = 0.0
+        chunk_times: list[float] = []
         for chunk, padded in chunk_padded(views, eval_batch_size):
             cams = [v[2] for v in padded]
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
@@ -269,7 +270,8 @@ class RoDyGSEvaluator:
                     self.fragment_profile = wider
                     preds, dropped, demand = self._render_views_batch(stacked)
             preds = np.asarray(preds)
-            render_s += time.perf_counter() - t0
+            chunk_times.append(time.perf_counter() - t0)
+            render_s += chunk_times[-1]
             for (idx, frame, _), pred in zip(chunk, preds):
                 gt = frame["image"]
                 score = self.viz_evaluator.get_score(gt, pred)
@@ -307,6 +309,13 @@ class RoDyGSEvaluator:
             "render_s_per_view": round(render_s / max(1, len(views)), 4),
             "eval_batch_size": int(min(eval_batch_size, max(1, len(views)))),
         }
+        if len(chunk_times) > 1:
+            # the first chunk absorbs the lax.map compile (dominant through
+            # the remote-compile tunnel); the post-compile batches are the
+            # serving-relevant render throughput. Padded chunks always run
+            # the full batch, so per-view = chunk / eval_batch_size.
+            result["timing"]["render_s_per_view_steady"] = round(
+                float(np.median(chunk_times[1:])) / eval_batch_size, 4)
 
         # train-pose metrics vs GT
         calibrated = self.static_datamodule.get_train_poses()
