@@ -1,0 +1,1 @@
+from . import covariance, image, knn, quaternion, schedules, sh, transforms  # noqa: F401

@@ -1,0 +1,116 @@
+"""Spherical-harmonics evaluation (degrees 0..4), RGB<->SH DC conversion.
+
+Capability parity with `src/utils/sh_utils.py:24-127` of the reference. Unlike
+the reference — where SH evaluation actually happens inside the CUDA
+rasterizer — here this IS the production path: it runs vectorized over all
+Gaussians in the jnp preprocess stage, so `jax.grad` provides the SH backward
+(including the view-direction / camera-pose chain) for free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+C0 = 0.28209479177387814
+C1 = 0.4886025119029199
+C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+C4 = (
+    2.5033429417967046,
+    -1.7701307697799304,
+    0.9461746957575601,
+    -0.6690465435572892,
+    0.10578554691520431,
+    -0.6690465435572892,
+    0.47308734787878004,
+    -1.7701307697799304,
+    0.6258357354491761,
+)
+
+
+def num_sh_coeffs(degree: int) -> int:
+    return (degree + 1) ** 2
+
+
+def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate SH at unit directions.
+
+    Args:
+      deg: static int degree 0..4. Only the first (deg+1)^2 coefficients are
+        read — callers may pass the full coefficient set.
+      sh: [..., K, C] coefficients with K >= (deg+1)^2.
+      dirs: [..., 3] unit directions.
+    Returns: [..., C].
+    """
+    assert 0 <= deg <= 4
+    result = C0 * sh[..., 0, :]
+    if deg > 0:
+        x = dirs[..., 0:1]
+        y = dirs[..., 1:2]
+        z = dirs[..., 2:3]
+        result = result - C1 * y * sh[..., 1, :] + C1 * z * sh[..., 2, :] - C1 * x * sh[..., 3, :]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (
+                result
+                + C2[0] * xy * sh[..., 4, :]
+                + C2[1] * yz * sh[..., 5, :]
+                + C2[2] * (2.0 * zz - xx - yy) * sh[..., 6, :]
+                + C2[3] * xz * sh[..., 7, :]
+                + C2[4] * (xx - yy) * sh[..., 8, :]
+            )
+            if deg > 2:
+                result = (
+                    result
+                    + C3[0] * y * (3 * xx - yy) * sh[..., 9, :]
+                    + C3[1] * xy * z * sh[..., 10, :]
+                    + C3[2] * y * (4 * zz - xx - yy) * sh[..., 11, :]
+                    + C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * sh[..., 12, :]
+                    + C3[4] * x * (4 * zz - xx - yy) * sh[..., 13, :]
+                    + C3[5] * z * (xx - yy) * sh[..., 14, :]
+                    + C3[6] * x * (xx - 3 * yy) * sh[..., 15, :]
+                )
+                if deg > 3:
+                    result = (
+                        result
+                        + C4[0] * xy * (xx - yy) * sh[..., 16, :]
+                        + C4[1] * yz * (3 * xx - yy) * sh[..., 17, :]
+                        + C4[2] * xy * (7 * zz - 1) * sh[..., 18, :]
+                        + C4[3] * yz * (7 * zz - 3) * sh[..., 19, :]
+                        + C4[4] * (zz * (35 * zz - 30) + 3) * sh[..., 20, :]
+                        + C4[5] * xz * (7 * zz - 3) * sh[..., 21, :]
+                        + C4[6] * (xx - yy) * (7 * zz - 1) * sh[..., 22, :]
+                        + C4[7] * xz * (xx - 3 * yy) * sh[..., 23, :]
+                        + C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)) * sh[..., 24, :]
+                    )
+    return result
+
+
+def sh_to_rgb_clamped(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """SH -> color as the reference rasterizer does: eval + 0.5, clamped at 0.
+    (The CUDA kernel's `computeColorFromSH` clamps negatives to zero; the
+    clamp's zero-subgradient is faithful to its backward.)"""
+    return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
+
+
+def rgb2sh(rgb: jnp.ndarray) -> jnp.ndarray:
+    return (rgb - 0.5) / C0
+
+
+def sh2rgb(sh: jnp.ndarray) -> jnp.ndarray:
+    return sh * C0 + 0.5

@@ -130,6 +130,66 @@ def timed_window(trainer, batch_for, key, steps, base_iter):
     return (time.perf_counter() - t0) / steps * 1e3, key
 
 
+def run_fwd_only(args, trainer, profile):
+    """Serving throughput: forward-only renders of the scene, no grads.
+
+    Probe-fits the fragment capacity exactly like the evaluator
+    (escalate-until-clean, then demand-fit), then times async windows of
+    single-frame renders — the number a render service would see per
+    camera request."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from rodygs_tpu.models import gaussians as G
+    from rodygs_tpu.render.camera import make_camera
+    from rodygs_tpu.render.compact import fit_capacity, profile_for_demand
+    from rodygs_tpu.render.rasterize import render
+
+    W, H = args.width, args.height
+    store = trainer.state.store
+    poses = trainer.state.poses
+    f = int(poses.q_c2w.shape[0])
+    p = store.params
+
+    def fwd(q, t, fp):
+        cam = make_camera(q, t, 0.9, 0.9, 0.0)
+        out = render(p.xyz, G.get_features(p), G.get_opacity(p),
+                     G.get_scaling(p), p.rotation, cam, 3, W, H,
+                     alive=store.alive, fragment_profile=fp,
+                     include_normal=False)
+        return out["rendered_image"], out["overflow"], out["num_fragments"]
+
+    jfwd = jax.jit(fwd, static_argnames=("fp",))
+    # probe-fit capacity (evaluator policy: never report clipped renders)
+    while True:
+        img, overflow, demand = jfwd(poses.q_c2w[0], poses.t_c2w[0], profile)
+        if not bool(overflow):
+            fit = fit_capacity(G.capacity_of(store), int(demand))
+            profile = fit if isinstance(profile, str) else min(fit, profile)
+            break
+        wider = profile_for_demand(G.capacity_of(store), int(demand), profile)
+        if wider is None:
+            break
+        profile = wider
+    jax.block_until_ready(jfwd(poses.q_c2w[0], poses.t_c2w[0], profile)[0])
+
+    wins = []
+    for w in range(args.windows):
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            img, _, _ = jfwd(poses.q_c2w[i % f], poses.t_c2w[i % f], profile)
+        jax.block_until_ready(img)
+        ms = (time.perf_counter() - t0) / args.steps * 1e3
+        wins.append(ms)
+        print(f"[fwd window {w}] {ms:.2f} ms/frame", flush=True)
+    med = float(np.median(wins))
+    print(f"[fwd steady] {med:.2f} ms/frame = {1e3 / med:.1f} FPS "
+          f"({W * H / 1e6 / (med / 1e3):.2f} Mpix/s fwd-only)  "
+          f"capacity={profile}", flush=True)
+
+
 def main(args):
     import jax
 
@@ -139,6 +199,9 @@ def main(args):
     profile = int(args.profile) if args.profile.isdigit() else args.profile
     trainer, batch_for = build_trainer(args.width, args.height, args.n,
                                        profile)
+    if args.fwd_only:
+        run_fwd_only(args, trainer, profile)
+        return
     key = jax.random.key(0)
     for i in range(3):  # compile + warmup
         key, sub = jax.random.split(key)
@@ -176,6 +239,8 @@ if __name__ == "__main__":
     p.add_argument("--steps", type=int, default=15)
     p.add_argument("--windows", type=int, default=5,
                    help="timed windows for the steady-state median")
+    p.add_argument("--fwd_only", action="store_true",
+                   help="serving throughput: forward-only renders (FPS)")
     p.add_argument("--no_trace", action="store_true",
                    help="timing only (A/B runs; skips the profiler trace)")
     p.add_argument("--outdir", default="/tmp/rodygs_trace")
