@@ -57,17 +57,18 @@ def _require_device(timeout_s: float) -> None:
     print(f"[bench] devices: {info['devices']}", file=sys.stderr)
 
 
-def main():
-    import os
-
-    _require_device(float(os.environ.get("RODYGS_BENCH_TUNNEL_TIMEOUT",
-                                         "1200")))
+def measure(W: int, H: int, N: int, capacity: int, n_frames: int,
+            n_windows: int, iters_per_window: int,
+            scale_rng=(-4.0, -2.6)) -> dict:
+    """Steady-state fwd+bwd+adam step time of the static trainer at the
+    given workload point. Returns {mpix_per_s, step_ms, windows_ms,
+    fragment_profile}."""
+    import sys
 
     import jax
     import jax.numpy as jnp
 
     from rodygs_tpu.models import gaussians as G
-    from rodygs_tpu.ops.sh import rgb2sh
     from rodygs_tpu.render.camera import make_camera
     from rodygs_tpu.render.rasterize import render
     from rodygs_tpu.train.losses import LossTerm, MultiLoss
@@ -75,21 +76,18 @@ def main():
     from rodygs_tpu.train.trainer_static import (
         FrameBatch, StaticTrainerConfig, ThreeDGSTrainer)
 
-    W, H = 512, 512
-    N = 100_000
     rng = np.random.default_rng(7)
     pts = rng.uniform([-2.0, -2.0, 2.5], [2.0, 2.0, 7.0], size=(N, 3)).astype(np.float32)
     cols = rng.uniform(0.1, 0.9, size=(N, 3)).astype(np.float32)
-    store = G.from_point_cloud(pts, cols, sh_degree=3, capacity=131072)
+    store = G.from_point_cloud(pts, cols, sh_degree=3, capacity=capacity)
     # Trained-scene-representative footprints (the KNN init prior on a random
     # 100k cloud yields blob sizes far above what converged scenes carry).
-    scales = np.exp(rng.uniform(-4.0, -2.6, size=(131072, 3))).astype(np.float32)
+    scales = np.exp(rng.uniform(*scale_rng, size=(capacity, 3))).astype(np.float32)
     store = store._replace(params=store.params._replace(
         scaling=jnp.asarray(np.log(scales))))
 
-    f = 8
     qs, ts = [], []
-    for ang in np.linspace(-0.2, 0.2, f):
+    for ang in np.linspace(-0.2, 0.2, n_frames):
         qs.append([np.cos(ang / 2), 0, np.sin(ang / 2), 0])
         ts.append([np.sin(ang) * 4.0, 0, 0])
     poses = CameraPoses(q_c2w=jnp.asarray(qs, jnp.float32),
@@ -110,8 +108,9 @@ def main():
     gts = []
     p = store.params
     gt_rng = np.random.default_rng(11)
-    for i in range(f):
-        cam = make_camera(poses.q_c2w[i], poses.t_c2w[i], 0.9, 0.9, 0.0)
+    fov = 0.9
+    for i in range(n_frames):
+        cam = make_camera(poses.q_c2w[i], poses.t_c2w[i], fov, fov, 0.0)
         out = render(p.xyz, G.get_features(p), G.get_opacity(p),
                      G.get_scaling(p), p.rotation, cam, 3, W, H,
                      alive=store.alive)
@@ -123,9 +122,10 @@ def main():
 
     def batch_for(i):
         return FrameBatch(
-            gt_image=gts[i % f], gt_depth=None, motion_mask=None,
-            frame_idx=jnp.asarray(i % f, jnp.int32), time=jnp.asarray(0.0),
-            fovx=jnp.asarray(0.9), fovy=jnp.asarray(0.9))
+            gt_image=gts[i % n_frames], gt_depth=None, motion_mask=None,
+            frame_idx=jnp.asarray(i % n_frames, jnp.int32),
+            time=jnp.asarray(0.0),
+            fovx=jnp.asarray(fov), fovy=jnp.asarray(fov))
 
     key = jax.random.key(0)
     # warmup/compile: long enough to cover four escalation polls (925/950/
@@ -139,26 +139,53 @@ def main():
 
     # timed windows (median rejects tunnel-degraded samples)
     windows = []
-    for w in range(5):
-        iters = 10
+    for w in range(n_windows):
         t0 = time.time()
-        for i in range(iters):
+        for i in range(iters_per_window):
             key, sub = jax.random.split(key)
-            m = trainer.train_iteration(batch_for(i), 2000 + w * iters + i, sub)
+            m = trainer.train_iteration(
+                batch_for(i), 2000 + w * iters_per_window + i, sub)
         jax.block_until_ready(m["loss"])
-        windows.append((time.time() - t0) / iters)
+        windows.append((time.time() - t0) / iters_per_window)
     step_s = float(np.median(windows))
     mpix_s = (W * H / 1e6) / step_s
 
-    import sys
-    print(f"[bench] windows_ms={[round(w * 1e3, 1) for w in windows]} "
+    print(f"[bench] {W}x{H}/{N // 1000}k "
+          f"windows_ms={[round(w * 1e3, 1) for w in windows]} "
           f"fragment_profile={trainer.fragment_profile}", file=sys.stderr)
+    return {
+        "mpix_per_s": round(mpix_s, 3),
+        "step_ms": round(step_s * 1e3, 2),
+        "windows_ms": [round(w * 1e3, 1) for w in windows],
+        "fragment_profile": str(trainer.fragment_profile),
+    }
+
+
+def main():
+    import os
+
+    _require_device(float(os.environ.get("RODYGS_BENCH_TUNNEL_TIMEOUT",
+                                         "1200")))
+
+    # headline point: 512^2 / 100k (the BENCH_r01..r03 continuity series)
+    small = measure(W=512, H=512, N=100_000, capacity=131072, n_frames=8,
+                    n_windows=5, iters_per_window=10)
+    workloads = {"512x512_100k": small}
+
+    # flagship-scale point (VERDICT r3 #3): 1920x1080 / 240k — the >=4096-
+    # tile regime where the adaptive rows-binning default and the capacity
+    # fits actually move the number. Skippable for quick local runs.
+    if os.environ.get("RODYGS_BENCH_SKIP_1080P", "0") != "1":
+        big = measure(W=1920, H=1080, N=240_000, capacity=262144,
+                      n_frames=4, n_windows=3, iters_per_window=8)
+        workloads["1920x1080_240k"] = big
 
     print(json.dumps({
         "metric": "train_step_fwd_bwd_mpix_per_s",
-        "value": round(mpix_s, 3),
+        "value": small["mpix_per_s"],
         "unit": "Mpix/s (512x512, 100k gaussians, fwd+bwd+adam)",
-        "vs_baseline": round(mpix_s / A100_REFERENCE_MPIX_S, 3),
+        "vs_baseline": round(small["mpix_per_s"] / A100_REFERENCE_MPIX_S, 3),
+        "workloads": workloads,
     }))
 
 

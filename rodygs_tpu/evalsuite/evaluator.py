@@ -207,13 +207,16 @@ class RoDyGSEvaluator:
     def _render_rgb_for_poseopt(self, camera: Camera):
         # static-only render, as the reference's PoseOptimizer uses the
         # static model (`eval.py:414`... it calls self.model.render on the
-        # static model passed in).
+        # static model passed in). pose_grad_only: the Gaussians are frozen
+        # here, so the cov/SH backward paths are gated off exactly like the
+        # reference's enable_cov_grad/enable_sh_grad=False pose-opt renders
+        # (`src/trainer/renderer.py:61-62`).
         sp = self.static_store.params
         out = render(sp.xyz, G.get_features(sp), G.get_opacity(sp),
                      G.get_scaling(sp), G.get_rotation(sp), camera,
                      self.active_sh_degree, self.image_width,
                      self.image_height, alive=self.static_store.alive,
-                     include_normal=False)
+                     include_normal=False, pose_grad_only=True)
         return out["rendered_image"]
 
     # --- main loop ---------------------------------------------------------
@@ -295,9 +298,11 @@ class RoDyGSEvaluator:
         if levels < 5:
             # adaptive MS-SSIM dropped scales (metrics.ms_ssim): values are
             # internally consistent but NOT comparable to fixed-5-scale
-            # implementations (piqa / the reference) — say so loudly
-            result["viz"]["msssim_levels"] = levels
-            result["viz"]["msssim_note"] = (
+            # implementations (piqa / the reference) — say so loudly.
+            # Lives under its own key: result["viz"] stays floats-only so
+            # downstream averaging across scenes never hits a string.
+            result["msssim_info"] = {"msssim_levels": levels}
+            result["msssim_info"]["msssim_note"] = (
                 f"image {self.image_width}x{self.image_height} supports only "
                 f"{levels}/5 MS-SSIM scales; msssim/dssim are renormalized "
                 "over the retained scales and not piqa-comparable")

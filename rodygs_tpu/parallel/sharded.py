@@ -263,6 +263,70 @@ def make_sharded_densify(cfg: StaticTrainerConfig, mesh: Mesh,
         jax.jit, static_argnames=("max_screen_size",))(densify)
 
 
+def make_sharded_dynamic_densify(cfg, mesh: Mesh, spatial_lr_scale: float):
+    """Sharded densification for the DYNAMIC store (VERDICT r3 #6): the
+    static `make_sharded_densify` extended with the motion-coefficient bank
+    — clone/split/prune move `motion_coeff` rows (and zero their Adam
+    moments) together with their Gaussians, each gauss shard operating on
+    its LOCAL capacity slice. The basis-MLP (`net`) moments are row-free
+    and pass through untouched. Same balance/overflow semantics as the
+    static version (see its docstring)."""
+    from ..train.densify import densify_and_prune
+    from ..train.optim import AdamState
+    from ..train.trainer_dynamic import DynParams, DynTrainState
+
+    n_gauss = mesh.shape.get("gauss", 1)
+
+    def densify(state: DynTrainState, key, max_screen_size):
+        def device_fn(store, aux, stats, key):
+            if n_gauss > 1:
+                key = jax.random.fold_in(key, jax.lax.axis_index("gauss"))
+            new_store, new_aux, new_stats, info = densify_and_prune(
+                store, aux, stats, key,
+                max_grad=cfg.densify_grad_threshold,
+                min_opacity=0.005,
+                extent=spatial_lr_scale,
+                percent_dense=cfg.percent_dense,
+                max_screen_size=max_screen_size,
+                isotropic=cfg.isotropic,
+                apply_screen_size_prune=cfg.apply_screen_size_prune,
+            )
+            if n_gauss > 1:
+                info = jax.lax.psum(info, "gauss")
+            return new_store, new_aux, new_stats, info
+
+        gspec = P("gauss") if n_gauss > 1 else P()
+        sm = shard_map(
+            device_fn, mesh=mesh,
+            in_specs=(gspec, gspec, gspec, P()),
+            out_specs=(gspec, gspec, gspec, P()),
+            check_vma=False,
+        )
+        aux = {
+            "mu_params": state.opt.mu.gauss,
+            "nu_params": state.opt.nu.gauss,
+            "coeff": state.motion_coeff,
+            "mu_coeff": state.opt.mu.motion_coeff,
+            "nu_coeff": state.opt.nu.motion_coeff,
+        }
+        new_store, new_aux, new_stats, info = sm(
+            state.store, aux, state.stats, key)
+        new_opt = AdamState(
+            mu=DynParams(gauss=new_aux["mu_params"],
+                         motion_coeff=new_aux["mu_coeff"],
+                         net=state.opt.mu.net),
+            nu=DynParams(gauss=new_aux["nu_params"],
+                         motion_coeff=new_aux["nu_coeff"],
+                         net=state.opt.nu.net),
+            count=state.opt.count,
+        )
+        return state._replace(store=new_store, motion_coeff=new_aux["coeff"],
+                              opt=new_opt, stats=new_stats), info
+
+    return functools.partial(
+        jax.jit, static_argnames=("max_screen_size",))(densify)
+
+
 def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
     """Multi-device DYNAMIC-stage step: each data-row device renders a
     different frame of the concatenated static+deformed-dynamic scene;

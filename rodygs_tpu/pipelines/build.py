@@ -262,7 +262,7 @@ def build_training_run(config: dict, dirpath: str | None = None,
             times=d_pcd.time, isotropic=d_cfg.isotropic,
             capacity_factor=capacity_factor)
         dyn_trainer = DynTrainer(d_cfg, d_loss, d_store, d_norm,
-                                 jax.random.key(seed))
+                                 jax.random.key(seed), mesh=mesh)
 
     joint = RoDyGSTrainer(
         static_trainer, dyn_trainer,

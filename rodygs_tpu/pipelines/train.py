@@ -13,6 +13,7 @@ import argparse
 import os
 import shutil
 import sys
+import time
 from pathlib import Path
 
 import yaml
@@ -29,12 +30,24 @@ def check_argument_sanity(args) -> None:
         assert os.path.isfile(cfg), f"config does not exist: {cfg}"
 
 
-def set_traindir(args, primary: bool = True) -> Path:
+def set_traindir(args, primary: bool = True, timeout_s: float = 300.0) -> Path:
     logdir = Path(args.logdir) / args.group / f"{args.name}_{args.seed}" / "train"
-    # collision protection applies to the one writing process; secondary
-    # multi-host processes attach to the primary's logdir
-    logdir.mkdir(parents=True,
-                 exist_ok=args.debug or args.resume or not primary)
+    # Collision protection applies to the one writing process. Secondaries
+    # must NOT create the directory: on a shared filesystem a secondary
+    # winning the mkdir race would make the primary's exist_ok=False check
+    # fire on a perfectly fresh run. They wait for the primary's mkdir
+    # instead (bounded — surfaces a dead primary rather than hanging).
+    if primary:
+        logdir.mkdir(parents=True,
+                     exist_ok=args.debug or args.resume)
+    else:
+        deadline = time.time() + timeout_s
+        while not logdir.is_dir():
+            if time.time() > deadline:
+                raise RuntimeError(
+                    f"secondary process timed out waiting for the primary "
+                    f"to create {logdir}")
+            time.sleep(0.5)
     return logdir
 
 

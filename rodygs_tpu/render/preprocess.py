@@ -97,6 +97,7 @@ def preprocess(
     scale_modifier: float = 1.0,
     alive: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
+    pose_grad_only: bool = False,
 ) -> Splats2D:
     """Project N Gaussians into screen space.
 
@@ -107,6 +108,15 @@ def preprocess(
       alive: optional [N] bool mask for capacity slots (dead => invisible).
       colors_precomp: optional [N,3] overriding SH evaluation (the
         `override_color` path of `StaticRoDyGS.render`).
+      pose_grad_only: frozen-Gaussian fast path (the TPU analog of the
+        reference's `enable_cov_grad=False, enable_sh_grad=False` gates,
+        `src/trainer/renderer.py:61-62`): stop-gradients the conic/cov2d
+        and SH-color/normal outputs so the backward flows ONLY through
+        mean2d + depth. Gradients to the camera pose become the same
+        means-path approximation the reference's gated kernel computes;
+        parameter cotangents through cov/SH — and their unsort/segsum
+        scatter traffic in the rasterizer VJP — are pruned by XLA. Use for
+        test-time pose optimization (eval_w_align), never for training.
     """
     w2c = world_view_transform(camera)  # [4,4] (scalar entries below)
     P = proj_matrix(camera)
@@ -281,13 +291,23 @@ def preprocess(
         visible = visible & alive
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
 
+    conic = jnp.stack([con_a, con_b, con_c], axis=0)
+    normal = jnp.stack([nvx * flip, nvy * flip, nvz * flip], axis=0)
+    if pose_grad_only:
+        # frozen-camera gates (see docstring): backward through mean2d +
+        # depth only
+        conic = jax.lax.stop_gradient(conic)
+        rgb = jax.lax.stop_gradient(rgb)
+        normal = jax.lax.stop_gradient(normal)
+        opacities = jax.lax.stop_gradient(opacities)
+
     return Splats2D(
         mean2d=jnp.stack([px, py], axis=0),
-        conic=jnp.stack([con_a, con_b, con_c], axis=0),
+        conic=conic,
         depth=depth,
         rgb=rgb,
         opacity=opacities,
-        normal=jnp.stack([nvx * flip, nvy * flip, nvz * flip], axis=0),
+        normal=normal,
         radius=radius,
         visible=visible,
         ext=ext,

@@ -135,7 +135,7 @@ def _local_tile_slice(tile_starts, tile_counts, tile_axis, num_tiles):
     static_argnames=("sh_degree", "image_width", "image_height",
                      "max_fragments", "tile_axis", "fragment_profile",
                      "binning_mode", "gauss_axis", "include_normal",
-                     "bf16_records", "tight_rect"),
+                     "bf16_records", "tight_rect", "pose_grad_only"),
 )
 def render(
     means3d: jnp.ndarray,
@@ -160,6 +160,7 @@ def render(
     include_normal: bool = True,
     bf16_records: bool | None = None,
     tight_rect: bool | str | None = None,
+    pose_grad_only: bool = False,
 ):
     """Differentiable tile rasterization of N Gaussians.
 
@@ -189,7 +190,7 @@ def render(
     splats = preprocess(
         means3d, scaling, rotation, opacity, shs, sh_degree, camera,
         image_width, image_height, scale_modifier, alive=alive,
-        colors_precomp=colors_precomp,
+        colors_precomp=colors_precomp, pose_grad_only=pose_grad_only,
     )
     if means2d_offset is not None:
         # Densification-stat hook: offset is a zero [2, N] array; its

@@ -83,10 +83,15 @@ class DynTrainer:
 
     def __init__(self, cfg: DynTrainerConfig, loss: MultiLoss,
                  store: G.GaussianStore, spatial_lr_scale: float,
-                 rng: jax.Array):
+                 rng: jax.Array, mesh=None):
         self.cfg = cfg
         self.loss = loss
         self.spatial_lr_scale = float(spatial_lr_scale)
+        self.mesh = mesh
+        if mesh is not None and mesh.shape.get("gauss", 1) > 1:
+            # balance alive slots over the gauss shards so per-shard
+            # densification starts even (make_sharded_densify docstring)
+            store = G.shard_interleave(store, mesh.shape["gauss"])
         self.net_cfg = M.MotionNetConfig(
             netwidth=cfg.deform_netwidth,
             num_basis=cfg.num_basis,
@@ -105,8 +110,14 @@ class DynTrainer:
         # Unique birth timesteps — static table for inverse-motion
         # canonicalization (`sync_gaussian_to_time_ind` consumer).
         self.unique_times = jnp.asarray(G.unique_times(store), jnp.float32)
-        self._densify_fn = jax.jit(self._densify_impl,
-                                   static_argnames=("max_screen_size",))
+        if mesh is None:
+            self._densify_fn = jax.jit(self._densify_impl,
+                                       static_argnames=("max_screen_size",))
+        else:
+            # densify each gauss shard's slice locally (VERDICT r3 #6)
+            from ..parallel.sharded import make_sharded_dynamic_densify
+            self._densify_fn = make_sharded_dynamic_densify(
+                cfg, mesh, self.spatial_lr_scale)
 
     # --- pieces used by the joint trainer's jitted step --------------------
 

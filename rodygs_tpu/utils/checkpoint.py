@@ -12,12 +12,19 @@ not be an arbitrary-code-execution surface the way raw `pickle.load` is):
   * v2 on-disk format: ``RODYGS-CKPT-v2\\n<sha256-hex>\\n<payload>`` — the
     SHA-256 of the payload is verified before a single payload byte is
     parsed, so truncation/bit-rot/tampering fails loudly;
-  * a restricted unpickler that only resolves classes from numpy /
-    rodygs_tpu / optax / jax and a safe builtins subset — a pickle whose
-    reduce chain reaches for `os.system`, `subprocess`, `eval`, … raises
+  * a restricted unpickler that resolves ONLY (a) an exact-global numpy
+    array-reconstruction set, (b) side-effect-free NamedTuple pytree node
+    classes defined inside `rodygs_tpu`, and (c) a safe builtins subset —
+    a pickle whose reduce chain reaches for `os.system`, `subprocess`,
+    `eval`, or any *callable* inside the allowed packages (the classic
+    "gadget inside an allowlisted module root" bypass, e.g.
+    `numpy.testing._private.utils.runstring`) raises
     `pickle.UnpicklingError` instead of executing;
   * legacy v1 files (raw pickle) still load, through the same restricted
     unpickler, so pre-v2 checkpoints remain readable.
+
+This is strong hardening of the load path, not a blanket trust boundary:
+prefer not to load checkpoints from untrusted sources at all.
 """
 
 from __future__ import annotations
@@ -33,23 +40,54 @@ import numpy as np
 
 _MAGIC = b"RODYGS-CKPT-v2\n"
 
-# Modules checkpoint payloads legitimately reference: numpy array
-# reconstruction, the package's own NamedTuple pytree nodes, optimizer
-# state types. Everything else — importantly os/subprocess/builtins.eval —
-# is refused at class-resolution time.
-_ALLOWED_MODULE_ROOTS = ("numpy", "rodygs_tpu", "optax", "jax", "chex")
+# Globals checkpoint payloads legitimately reference. Checkpoints hold only
+# dicts of numpy arrays / scalars plus the package's NamedTuple pytree nodes
+# (trainer `state_dict()` shapes), so the allowlist is exact — NOT module
+# roots: whole-root allows reach pickle gadgets inside otherwise-benign
+# packages (e.g. `numpy.testing._private.utils.runstring` execs a string).
+_ALLOWED_GLOBALS = {
+    ("numpy", "ndarray"), ("numpy", "dtype"),
+    # numpy 1.x module path and the numpy 2.x `_core` rename
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    # pickle protocol 5 array path (buffer-backed reconstruction)
+    ("numpy.core.numeric", "_frombuffer"),
+    ("numpy._core.numeric", "_frombuffer"),
+}
 _ALLOWED_BUILTINS = {"dict", "list", "tuple", "set", "frozenset", "complex",
                      "bytearray", "range", "slice", "bool", "int", "float",
                      "str", "bytes", "NoneType"}
 _ALLOWED_COLLECTIONS = {"OrderedDict", "defaultdict", "deque"}
 
 
+def _is_safe_class(obj: Any, module: str) -> bool:
+    """Classes constructible from a pickle without code execution: the
+    package's own NamedTuple pytree nodes (plain tuples — no __init__ /
+    __setstate__ side effects) and numpy 2.x `numpy.dtypes.*DType` classes
+    (how numpy 2 pickles dtypes)."""
+    if not isinstance(obj, type):
+        return False
+    if module.partition(".")[0] == "rodygs_tpu":
+        return issubclass(obj, tuple) and hasattr(obj, "_fields")
+    if module == "numpy.dtypes":
+        return issubclass(obj, np.dtype)
+    return False
+
+
 class _RestrictedUnpickler(pickle.Unpickler):
     def find_class(self, module: str, name: str):
-        root = module.split(".", 1)[0]
-        if (module == "builtins" and name in _ALLOWED_BUILTINS) \
-                or (module == "collections" and name in _ALLOWED_COLLECTIONS) \
-                or root in _ALLOWED_MODULE_ROOTS:
+        allowed = (
+            (module, name) in _ALLOWED_GLOBALS
+            or (module == "builtins" and name in _ALLOWED_BUILTINS)
+            or (module == "collections" and name in _ALLOWED_COLLECTIONS))
+        if not allowed and (module.partition(".")[0] == "rodygs_tpu"
+                            or module == "numpy.dtypes"):
+            obj = super().find_class(module, name)
+            if _is_safe_class(obj, module):
+                return obj
+        if allowed:
             return super().find_class(module, name)
         raise pickle.UnpicklingError(
             f"checkpoint references disallowed global {module}.{name} — "

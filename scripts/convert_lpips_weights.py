@@ -134,6 +134,64 @@ def convert(out_path: str, alex_pth: str | None = None,
     return arrays
 
 
+def bootstrap(cache_dir: str, out_path: str,
+              allow_unpinned: bool = False,
+              manifest_path: str | None = None) -> None:
+    """One-command path for the first environment WITH egress (VERDICT r3
+    #9): download every file in scripts/lpips_manifest.json into
+    `cache_dir`, verify the pinned sha256 (prefix for torch-hub files, full
+    where recorded), convert, and print the full hashes so the manifest can
+    be tightened. Idempotent: existing verified files are reused."""
+    import hashlib
+    import json
+    import urllib.request
+
+    if manifest_path is None:
+        manifest_path = os.path.join(os.path.dirname(__file__),
+                                     "lpips_manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)["files"]
+
+    paths, digests = {}, {}
+    for key, spec in manifest.items():
+        dest = os.path.join(cache_dir, spec["dest"])
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        if not os.path.exists(dest):
+            print(f"[lpips-bootstrap] fetching {spec['url']}")
+            urllib.request.urlretrieve(spec["url"], dest)
+        with open(dest, "rb") as fh:
+            digest = hashlib.sha256(fh.read()).hexdigest()
+        digests[key] = digest
+        if spec.get("sha256_full"):
+            ok = digest == spec["sha256_full"]
+        elif spec.get("sha256_prefix"):
+            ok = digest.startswith(spec["sha256_prefix"])
+        else:
+            ok = allow_unpinned
+            if not ok:
+                raise SystemExit(
+                    f"{key}: no pin recorded in the manifest and "
+                    f"--allow_unpinned not given; got sha256 {digest}. "
+                    "Verify the file out-of-band, then record sha256_full "
+                    "in scripts/lpips_manifest.json or rerun with "
+                    "--allow_unpinned.")
+        if not ok:
+            raise SystemExit(
+                f"{key}: sha256 mismatch for {dest}: got {digest}, "
+                f"manifest pins "
+                f"{spec.get('sha256_full') or spec.get('sha256_prefix')} — "
+                "refusing to convert a tampered/rotated checkpoint")
+        paths[key] = dest
+
+    convert(out_path, alex_pth=paths["alex_backbone"],
+            vgg_pth=paths["vgg_backbone"],
+            heads_dir=os.path.dirname(paths["alex_head"]))
+    print("[lpips-bootstrap] full sha256s (pin these in lpips_manifest.json):")
+    for key, digest in digests.items():
+        print(f"  {key}: {digest}")
+    print(f"[lpips-bootstrap] done — set RODYGS_LPIPS_WEIGHTS={out_path}")
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="lpips_weights.npz")
@@ -143,5 +201,14 @@ if __name__ == "__main__":
                         help="local torchvision vgg16 checkpoint (.pth)")
     parser.add_argument("--heads_dir", default=None,
                         help="dir with richzhang v0.1 alex.pth + vgg.pth")
+    parser.add_argument("--bootstrap", default=None, metavar="CACHE_DIR",
+                        help="download per scripts/lpips_manifest.json into "
+                             "CACHE_DIR, verify checksums, convert — the "
+                             "one-command first-egress path")
+    parser.add_argument("--allow_unpinned", action="store_true",
+                        help="accept manifest entries with no recorded pin")
     args = parser.parse_args()
-    convert(args.out, args.alex_pth, args.vgg_pth, args.heads_dir)
+    if args.bootstrap:
+        bootstrap(args.bootstrap, args.out, args.allow_unpinned)
+    else:
+        convert(args.out, args.alex_pth, args.vgg_pth, args.heads_dir)

@@ -20,6 +20,13 @@ Writes FLAGSHIP_1080P.json at the repo root:
   {steps, mpix_per_s, step_ms_median, escalations, dropped_final,
    overflow_final_profile, psnr_holdout, psnr_train, n_alive_*, peak_hbm_gb}
 
+Reference-schedule mode (VERDICT r3 item #1): `--iters 20000
+--densify_from 500 --densify_until_dynamic 15000 --sh_up_start 15000
+--pose_noise_rot_deg 0.5 --pose_noise_trans 0.025 --resume_every 2000`
+reproduces the reference's full Kubric-MRig schedule
+(`configs/train/train_kubric_mrig.yaml:26,126,171,251`) with a
+pose-noised init, and survives tunnel blinks via resume snapshots.
+
 Usage:  python scripts/flagship_1080p.py [--iters 400] [--width 1920]
         [--height 1080] [--n 120000] [--out FLAGSHIP_1080P.json]
 """
@@ -28,6 +35,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -35,6 +43,27 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _c2w_mats(qs: np.ndarray, ts: np.ndarray) -> np.ndarray:
+    """[F,4,4] camera-to-world mats from quaternion+translation arrays."""
+    import jax.numpy as jnp
+
+    from rodygs_tpu.ops.quaternion import quat_to_matrix
+
+    mats = np.tile(np.eye(4, dtype=np.float64), (len(qs), 1, 1))
+    for i, (q, t) in enumerate(zip(np.asarray(qs), np.asarray(ts))):
+        mats[i, :3, :3] = np.asarray(quat_to_matrix(jnp.asarray(q)))
+        mats[i, :3, 3] = t
+    return mats
+
+
+def _pose_scores(gt_q, gt_t, est_q, est_t) -> dict:
+    from rodygs_tpu.evalsuite.pose_metrics import PoseEvaluator
+
+    s = PoseEvaluator().get_score(_c2w_mats(gt_q, gt_t),
+                                  _c2w_mats(est_q, est_t))
+    return {k: round(float(v), 6) for k, v in s.items() if k != "aligned"}
 
 
 def main(args):
@@ -173,9 +202,32 @@ def main(args):
 
     static_store = set_scales(static_store, s_scales)
     dyn_store = set_scales(dyn_store, d_scales)
-    poses = CameraPoses(
-        q_c2w=jnp.asarray(np.stack([p[0] for p in poses_np])),
-        t_c2w=jnp.asarray(np.stack([p[1] for p in poses_np])))
+
+    # camera init: exact GT poses, optionally perturbed by a fixed-magnitude
+    # random-axis rotation + gaussian translation (MASt3R-like imperfect
+    # trajectory — `scripts/run_mast3r/run.py:327` regime). GT image renders
+    # above always used the EXACT poses; training must recover them.
+    gt_q = np.stack([p[0] for p in poses_np])
+    gt_t = np.stack([p[1] for p in poses_np])
+    init_q, init_t = gt_q.copy(), gt_t.copy()
+    pose_noise = {}
+    if args.pose_noise_rot_deg > 0 or args.pose_noise_trans > 0:
+        from rodygs_tpu.ops.quaternion import quat_multiply
+        half = np.deg2rad(args.pose_noise_rot_deg) / 2.0
+        axes = rng.normal(size=(n_frames, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        dq = np.concatenate([np.full((n_frames, 1), np.cos(half)),
+                             np.sin(half) * axes], axis=1).astype(np.float32)
+        init_q = np.asarray(quat_multiply(jnp.asarray(dq), jnp.asarray(gt_q)))
+        init_t = (gt_t + rng.normal(0, args.pose_noise_trans,
+                                    gt_t.shape)).astype(np.float32)
+        pose_noise = {
+            "rot_deg": args.pose_noise_rot_deg,
+            "trans_sigma": args.pose_noise_trans,
+            "init_scores": _pose_scores(gt_q, gt_t, init_q, init_t),
+        }
+        print(f"[flagship] pose noise: {pose_noise}", flush=True)
+    poses = CameraPoses(q_c2w=jnp.asarray(init_q), t_c2w=jnp.asarray(init_t))
 
     static_loss = MultiLoss([
         LossTerm("d_ssim", 0.2, "SSIMLoss"),
@@ -200,26 +252,31 @@ def main(args):
                          ("freq_div_mode", "cum_exponential"))),
     ])
 
+    until_s = (args.densify_until_static if args.densify_until_static >= 0
+               else args.iters)
+    until_d = (args.densify_until_dynamic if args.densify_until_dynamic >= 0
+               else args.iters)
     common = dict(
         image_width=W, image_height=H, sh_degree=3,
         position_lr_max_steps=args.iters,
-        densification_interval=100, densify_from_iter=100,
-        densify_until_iter=args.iters,
+        densification_interval=100, densify_from_iter=args.densify_from,
         densify_grad_threshold=0.0002, percent_dense=0.01,
         camera_lr_warmup=0, camera_total_steps=args.iters)
     s_cfg = StaticTrainerConfig(
-        camera_rotation_lr=1e-5, camera_translation_lr=1e-6, **common)
+        camera_rotation_lr=1e-5, camera_translation_lr=1e-6,
+        densify_until_iter=until_s, **common)
     d_cfg = DynTrainerConfig(
         deform_netwidth=128, deform_t_emb_multires=26, num_basis=16,
         inverse_motion=True, deform_lr_max_steps=args.iters,
-        camera_rotation_lr=0.0, camera_translation_lr=0.0, **common)
+        camera_rotation_lr=0.0, camera_translation_lr=0.0,
+        densify_until_iter=until_d, **common)
 
     spatial_lr_scale = 5.0
     st = ThreeDGSTrainer(s_cfg, static_loss, static_store, poses,
                          spatial_lr_scale)
     dt = DynTrainer(d_cfg, dyn_loss, dyn_store, spatial_lr_scale,
                     jax.random.key(0))
-    joint = RoDyGSTrainer(st, dt, sh_up_start_iteration=10**9)
+    joint = RoDyGSTrainer(st, dt, sh_up_start_iteration=args.sh_up_start)
 
     def batch_for(i):
         t = i / (n_frames - 1)
@@ -234,12 +291,44 @@ def main(args):
     key = jax.random.key(1)
     escalations = []
     window_times = []
+    alive_traj = []
+    start_iter = 1
+    train_s_prev = 0.0
+    resumed_from = None
+    state_dir = Path(args.state_dir)
+    resume_ckpt = state_dir / "resume.ckpt"
+    sidecar_path = state_dir / "resume_sidecar.json"
+    if args.resume_every and resume_ckpt.exists():
+        # crash/tunnel-blink recovery: restore trainer state + run history
+        start_iter, key = joint.load_resume(resume_ckpt)
+        side = json.loads(sidecar_path.read_text())
+        window_times = side["window_times"]
+        escalations = side["escalations"]
+        alive_traj = side["alive_traj"]
+        train_s_prev = side["train_s"]
+        st.fragment_profile = side["profiles"][0]
+        joint.dyn_fragment_profile = side["profiles"][1]
+        resumed_from = start_iter - 1
+        print(f"[flagship] RESUMED at iter {start_iter} "
+              f"(profiles={side['profiles']})", flush=True)
+
+    def save_snapshot(it, key):
+        state_dir.mkdir(parents=True, exist_ok=True)
+        tmp = state_dir / "resume.ckpt.tmp"
+        joint.save_resume(tmp, it, key)
+        os.replace(tmp, resume_ckpt)
+        sidecar_path.write_text(json.dumps({
+            "window_times": window_times, "escalations": escalations,
+            "alive_traj": alive_traj,
+            "train_s": train_s_prev + time.time() - t_train0,
+            "profiles": [st.fragment_profile, joint.dyn_fragment_profile]}))
+
     t_train0 = time.time()
     t_win = time.time()
     win_iters = 0
     profile_before = (st.fragment_profile, joint.dyn_fragment_profile)
     dropped_last = (0, 0)
-    for it in range(1, args.iters + 1):
+    for it in range(start_iter, args.iters + 1):
         key, sub = jax.random.split(key)
         i = (it - 1) % n_frames
         # the axon remote-compile helper intermittently crashes (HTTP 500)
@@ -265,20 +354,29 @@ def main(args):
             print(f"[flagship] iter {it}: profile escalation -> {prof}",
                   flush=True)
             profile_before = prof
-        if it % 50 == 0 or it == args.iters:
+        if it % args.log_every == 0 or it == args.iters:
             jax.block_until_ready(m["static"]["loss"])
             dt_win = time.time() - t_win
-            window_times.append(dt_win / win_iters)
+            window_times.append(round(dt_win / win_iters, 4))
             dropped_last = (int(m["static"]["dropped"]),
                             int(m["dynamic"]["dropped"]))
+            alive_traj.append([it, int(G.num_alive(st.state.store)),
+                               int(G.num_alive(joint.dynamic.state.store))])
             print(f"[flagship] iter {it}: static loss="
                   f"{float(m['static']['loss']):.4f} dyn loss="
                   f"{float(m['dynamic']['loss']):.4f} "
                   f"{dt_win / win_iters * 1e3:.0f} ms/it "
-                  f"dropped={dropped_last} profiles={prof}", flush=True)
+                  f"dropped={dropped_last} profiles={prof} "
+                  f"alive={alive_traj[-1][1:]}", flush=True)
             t_win = time.time()
             win_iters = 0
-    train_s = time.time() - t_train0
+        if args.resume_every and it % args.resume_every == 0:
+            t_snap = time.time()
+            save_snapshot(it, key)
+            print(f"[flagship] iter {it}: resume snapshot saved "
+                  f"({time.time() - t_snap:.1f}s)", flush=True)
+            t_win += time.time() - t_snap  # keep window times honest
+    train_s = train_s_prev + (time.time() - t_train0)
 
     # steady-state step time: median of the post-warmup windows
     steady = float(np.median(window_times[1:] if len(window_times) > 2
@@ -354,9 +452,22 @@ def main(args):
     except Exception as e:  # diagnostic only — never fail the flagship run
         mem["fragment_demand_static_view0"] = repr(e)[:200]
 
+    if pose_noise:
+        fq = np.asarray(st.state.poses.q_c2w)
+        ft = np.asarray(st.state.poses.t_c2w)
+        pose_noise["final_scores"] = _pose_scores(gt_q, gt_t, fq, ft)
+        print(f"[flagship] pose recovery: init={pose_noise['init_scores']} "
+              f"final={pose_noise['final_scores']}", flush=True)
+
     result = {
         "workload": f"{W}x{H}, 2x{N} gaussians, full joint step "
                     "(static+dynamic+densify+pose-opt, 8-term dyn loss)",
+        "schedule": {"densify_from": args.densify_from,
+                     "densify_until": [until_s, until_d],
+                     "sh_up_start": args.sh_up_start},
+        "pose_noise": pose_noise or None,
+        "alive_traj": alive_traj,
+        "resumed_from": resumed_from,
         "steps": args.iters,
         "step_ms_median": round(steady * 1e3, 1),
         "mpix_per_s_fwd_bwd": round(mpix_s, 3),
@@ -399,4 +510,18 @@ if __name__ == "__main__":
     p.add_argument("--out", default="FLAGSHIP_1080P.json")
     p.add_argument("--allow_drops", action="store_true",
                    help="skip the final zero-drop assertion (stress runs)")
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--sh_up_start", type=int, default=10**9,
+                   help="reference kubric: 15000 (sh ramp 0->3 after)")
+    p.add_argument("--densify_from", type=int, default=100,
+                   help="reference kubric: 500")
+    p.add_argument("--densify_until_static", type=int, default=-1,
+                   help="-1 = iters (reference kubric: 20000)")
+    p.add_argument("--densify_until_dynamic", type=int, default=-1,
+                   help="-1 = iters (reference kubric: 15000)")
+    p.add_argument("--pose_noise_rot_deg", type=float, default=0.0)
+    p.add_argument("--pose_noise_trans", type=float, default=0.0)
+    p.add_argument("--resume_every", type=int, default=0,
+                   help="save a resume snapshot every N iters (0=off)")
+    p.add_argument("--state_dir", default="logs/flagship_state")
     main(p.parse_args())

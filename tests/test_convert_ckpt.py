@@ -183,7 +183,8 @@ class TestCheckpointHardening:
 
     def test_malicious_pickle_rejected_even_with_valid_hash(self, tmp_path):
         """An attacker can recompute the hash; the restricted unpickler is
-        the actual code-execution barrier."""
+        the code-execution hardening layer (see checkpoint.py docstring —
+        strong hardening, not a blanket trust boundary)."""
         import hashlib
         import pickle
 
@@ -201,6 +202,50 @@ class TestCheckpointHardening:
         p.write_bytes(b"RODYGS-CKPT-v2\n" + digest + b"\n" + payload)
         with pytest.raises(pickle.UnpicklingError, match="disallowed"):
             load_checkpoint(p)
+
+    @pytest.mark.parametrize("gadget", [
+        # exec-a-string gadget INSIDE an otherwise-benign allowed package —
+        # the reason the allowlist is exact globals, not module roots
+        ("numpy.testing._private.utils", "runstring"),
+        # arbitrary-target instantiation gadget inside rodygs_tpu itself
+        ("rodygs_tpu.utils.config", "instantiate_from_config"),
+        # non-NamedTuple numpy callable
+        ("numpy", "frombuffer"),
+    ])
+    def test_gadgets_under_allowed_roots_rejected(self, tmp_path, gadget):
+        import hashlib
+        import pickle
+        import pickletools  # noqa: F401  (doc: payload built by hand)
+
+        from rodygs_tpu.utils.checkpoint import load_checkpoint
+        module, name = gadget
+        # hand-built pickle: GLOBAL module.name; would execute on REDUCE
+        payload = (b"\x80\x04c" + module.encode() + b"\n" + name.encode()
+                   + b"\n.")
+        digest = hashlib.sha256(payload).hexdigest().encode()
+        p = tmp_path / "gadget.ckpt"
+        p.write_bytes(b"RODYGS-CKPT-v2\n" + digest + b"\n" + payload)
+        with pytest.raises(pickle.UnpicklingError, match="disallowed"):
+            load_checkpoint(p)
+
+    def test_real_trainer_namedtuples_still_load(self, tmp_path):
+        """The exact-global tightening must not break real checkpoints,
+        whose treedefs contain rodygs_tpu NamedTuple pytree nodes."""
+        from rodygs_tpu.models import gaussians as G
+        from rodygs_tpu.train.optim import CameraPoses
+        from rodygs_tpu.utils.checkpoint import (load_checkpoint,
+                                                 save_checkpoint)
+        store = G.from_point_cloud(
+            np.zeros((4, 3), np.float32), np.full((4, 3), 0.5, np.float32),
+            sh_degree=1, capacity=8)
+        payload = {"model": G.to_state_dict(store),
+                   "poses": CameraPoses(q_c2w=np.zeros((2, 4), np.float32),
+                                        t_c2w=np.zeros((2, 3), np.float32))}
+        p = tmp_path / "real.ckpt"
+        save_checkpoint(p, payload, 9)
+        sd, it = load_checkpoint(p)
+        assert it == 9
+        assert isinstance(sd["poses"], CameraPoses)
 
     def test_legacy_v1_raw_pickle_still_loads(self, tmp_path):
         import pickle

@@ -189,3 +189,98 @@ class TestLpipsCheckpointLayout:
         with pytest.raises(AssertionError, match="transposed"):
             convert(str(tmp_path / "out.npz"),
                     alex_pth=str(tmp_path / "bad.pth"))
+
+
+class TestLpipsBootstrap:
+    """The one-command checksum-pinned bootstrap (VERDICT r3 #9): manifest
+    drives the downloads, sha256 pins gate the conversion."""
+
+    @staticmethod
+    def _manifest_for(tmp_path, sources, pins):
+        import hashlib
+        import json
+        entries = {}
+        for key, src in sources.items():
+            digest = hashlib.sha256(src.read_bytes()).hexdigest()
+            entry = {"url": f"fake://{key}", "sha256_prefix": None,
+                     "sha256_full": None, "dest": {
+                         "alex_backbone": "alexnet.pth",
+                         "vgg_backbone": "vgg16.pth",
+                         "alex_head": "heads/alex.pth",
+                         "vgg_head": "heads/vgg.pth"}[key]}
+            if pins == "full":
+                entry["sha256_full"] = digest
+            elif pins == "prefix":
+                entry["sha256_prefix"] = digest[:8]
+            elif pins == "wrong":
+                entry["sha256_full"] = "0" * 64
+            entries[key] = entry
+        mp = tmp_path / "manifest.json"
+        mp.write_text(json.dumps({"files": entries}))
+        return mp
+
+    @pytest.fixture()
+    def sources(self, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        _make_backbone_ckpt(src / "alexnet.pth", _alex_features(), seed=1)
+        _make_backbone_ckpt(src / "vgg16.pth", _vgg16_features(), seed=2)
+        _make_heads_ckpt(src / "alex.pth", [64, 192, 384, 256, 256], seed=3)
+        _make_heads_ckpt(src / "vgg.pth", [64, 128, 256, 512, 512], seed=4)
+        return {"alex_backbone": src / "alexnet.pth",
+                "vgg_backbone": src / "vgg16.pth",
+                "alex_head": src / "alex.pth",
+                "vgg_head": src / "vgg.pth"}
+
+    def _patch_fetch(self, monkeypatch, sources):
+        import shutil
+        import urllib.request
+
+        def fake_retrieve(url, dest):
+            shutil.copy(sources[url.removeprefix("fake://")], dest)
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+
+    @pytest.mark.parametrize("pins", ["full", "prefix"])
+    def test_bootstrap_verifies_and_converts(self, tmp_path, monkeypatch,
+                                             sources, pins):
+        from convert_lpips_weights import bootstrap
+        self._patch_fetch(monkeypatch, sources)
+        mp = self._manifest_for(tmp_path, sources, pins)
+        out = tmp_path / "w.npz"
+        bootstrap(str(tmp_path / "cache"), str(out),
+                  manifest_path=str(mp))
+        assert lpips_fn("alex", str(out)) is not None
+
+    def test_bootstrap_rejects_hash_mismatch(self, tmp_path, monkeypatch,
+                                             sources):
+        from convert_lpips_weights import bootstrap
+        self._patch_fetch(monkeypatch, sources)
+        mp = self._manifest_for(tmp_path, sources, "wrong")
+        with pytest.raises(SystemExit, match="mismatch"):
+            bootstrap(str(tmp_path / "cache"), str(tmp_path / "w.npz"),
+                      manifest_path=str(mp))
+
+    def test_bootstrap_requires_pin_or_flag(self, tmp_path, monkeypatch,
+                                            sources):
+        from convert_lpips_weights import bootstrap
+        self._patch_fetch(monkeypatch, sources)
+        mp = self._manifest_for(tmp_path, sources, "none")
+        with pytest.raises(SystemExit, match="allow_unpinned"):
+            bootstrap(str(tmp_path / "cache"), str(tmp_path / "w.npz"),
+                      manifest_path=str(mp))
+        bootstrap(str(tmp_path / "cache"), str(tmp_path / "w.npz"),
+                  allow_unpinned=True, manifest_path=str(mp))
+
+    def test_repo_manifest_parses_and_covers_all_roles(self):
+        import json
+        mp = (Path(__file__).resolve().parents[1] / "scripts"
+              / "lpips_manifest.json")
+        files = json.loads(mp.read_text())["files"]
+        assert set(files) == {"alex_backbone", "vgg_backbone",
+                              "alex_head", "vgg_head"}
+        for spec in files.values():
+            assert spec["url"].startswith("https://")
+        # torch-hub files carry their prefix pin in the filename
+        for key in ("alex_backbone", "vgg_backbone"):
+            assert files[key]["sha256_prefix"] in files[key]["url"]

@@ -116,6 +116,39 @@ class TestBackward:
         assert np.abs(np.asarray(g.q_c2w)).max() > 0
         assert np.abs(np.asarray(g.t_c2w)).max() > 0
 
+    def test_pose_grad_only_gates_cov_and_sh(self):
+        """Frozen-camera fast path (VERDICT r3 #8, the reference's
+        enable_cov_grad/enable_sh_grad=False gates): identical primal,
+        pose grads still flow (through mean2d+depth), and the gated
+        parameter paths (scaling/rotation/SH) return exactly zero."""
+        means, scales, quats, opac, shs, cam = make_scene(n=60, sh_extra=True)
+
+        def make_loss(gate):
+            def loss(means, scales, quats, opac, shs, cam):
+                out = render(means, shs, opac, scales, quats, cam, 2, W, H,
+                             pose_grad_only=gate)
+                return jnp.mean((out["rendered_image"] - 0.4) ** 2)
+            return loss
+
+        # primal unchanged
+        full = float(make_loss(False)(means, scales, quats, opac, shs, cam))
+        gated = float(make_loss(True)(means, scales, quats, opac, shs, cam))
+        np.testing.assert_allclose(gated, full, rtol=1e-6)
+
+        g = jax.grad(make_loss(True), argnums=(0, 1, 2, 3, 4, 5))(
+            means, scales, quats, opac, shs, cam)
+        # pose grads alive and finite
+        for leaf in jax.tree.leaves(g[5]):
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert np.abs(np.asarray(g[5].q_c2w)).max() > 0
+        assert np.abs(np.asarray(g[5].t_c2w)).max() > 0
+        # means still reach the image through mean2d
+        assert np.abs(np.asarray(g[0])).max() > 0
+        # gated paths are EXACT zeros: cov (scales/quats), opacity, SH
+        for name, leaf in [("scales", g[1]), ("quats", g[2]),
+                           ("opac", g[3]), ("shs", g[4])]:
+            assert np.abs(np.asarray(leaf)).max() == 0.0, name
+
     def test_means2d_offset_grad_is_screen_grad(self):
         means, scales, quats, opac, shs, cam = make_scene(n=40)
         zero = jnp.zeros((2, 40))
