@@ -263,7 +263,8 @@ def main(args):
         densify_grad_threshold=0.0002, percent_dense=0.01,
         camera_lr_warmup=0, camera_total_steps=args.iters)
     s_cfg = StaticTrainerConfig(
-        camera_rotation_lr=1e-5, camera_translation_lr=1e-6,
+        camera_rotation_lr=args.camera_rotation_lr,
+        camera_translation_lr=args.camera_translation_lr,
         densify_until_iter=until_s, **common)
     d_cfg = DynTrainerConfig(
         deform_netwidth=128, deform_t_emb_multires=26, num_basis=16,
@@ -306,6 +307,8 @@ def main(args):
         escalations = side["escalations"]
         alive_traj = side["alive_traj"]
         train_s_prev = side["train_s"]
+        if side.get("pose_noise"):
+            pose_noise = side["pose_noise"]
         st.fragment_profile = side["profiles"][0]
         joint.dyn_fragment_profile = side["profiles"][1]
         resumed_from = start_iter - 1
@@ -321,6 +324,7 @@ def main(args):
             "window_times": window_times, "escalations": escalations,
             "alive_traj": alive_traj,
             "train_s": train_s_prev + time.time() - t_train0,
+            "pose_noise": pose_noise,
             "profiles": [st.fragment_profile, joint.dyn_fragment_profile]}))
 
     t_train0 = time.time()
@@ -362,6 +366,10 @@ def main(args):
                             int(m["dynamic"]["dropped"]))
             alive_traj.append([it, int(G.num_alive(st.state.store)),
                                int(G.num_alive(joint.dynamic.state.store))])
+            if pose_noise:
+                s = _pose_scores(gt_q, gt_t, np.asarray(st.state.poses.q_c2w),
+                                 np.asarray(st.state.poses.t_c2w))
+                pose_noise.setdefault("ate_traj", []).append([it, s["ATE"]])
             print(f"[flagship] iter {it}: static loss="
                   f"{float(m['static']['loss']):.4f} dyn loss="
                   f"{float(m['dynamic']['loss']):.4f} "
@@ -521,6 +529,9 @@ if __name__ == "__main__":
                    help="-1 = iters (reference kubric: 15000)")
     p.add_argument("--pose_noise_rot_deg", type=float, default=0.0)
     p.add_argument("--pose_noise_trans", type=float, default=0.0)
+    p.add_argument("--camera_rotation_lr", type=float, default=1e-5,
+                   help="reference kubric value; raise for hard pose rungs")
+    p.add_argument("--camera_translation_lr", type=float, default=1e-6)
     p.add_argument("--resume_every", type=int, default=0,
                    help="save a resume snapshot every N iters (0=off)")
     p.add_argument("--state_dir", default="logs/flagship_state")
