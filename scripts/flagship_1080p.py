@@ -68,6 +68,11 @@ def _pose_scores(gt_q, gt_t, est_q, est_t) -> dict:
 
 def main(args):
     import jax
+
+    if os.environ.get("RODYGS_FORCE_CPU") == "1":
+        # sitecustomize force-registers the axon TPU backend; rehearsal runs
+        # must pin CPU in code or they contend for the single-chip tunnel
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from rodygs_tpu.utils.profiling import enable_persistent_compile_cache
