@@ -188,8 +188,18 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
         cam_lrs = camera_lr_tree(
             iteration, cfg.camera_rotation_lr, cfg.camera_translation_lr,
             cfg.camera_lr_warmup, cfg.camera_total_steps)
-        new_poses, new_cam_opt = adam_update(
-            g_poses, state.cam_opt, state.poses, cam_lrs)
+        if cfg.camera_sparse_adam:
+            # frame-masked camera Adam (see trainer_static): the mask is
+            # the union of this batch's frames (one per data-axis row)
+            from ..train.optim import sparse_row_adam_update
+            n_f = state.poses.q_c2w.shape[0]
+            row_mask = jnp.zeros((n_f,), bool).at[
+                batch.frame_idx.astype(jnp.int32)].set(True)
+            new_poses, new_cam_opt = sparse_row_adam_update(
+                g_poses, state.cam_opt, state.poses, cam_lrs, row_mask)
+        else:
+            new_poses, new_cam_opt = adam_update(
+                g_poses, state.cam_opt, state.poses, cam_lrs)
         new_stats = jax.tree.map(lambda s, d: s + d, state.stats, stat_delta)
         new_state = StaticTrainState(
             store=state.store._replace(params=new_params),

@@ -66,6 +66,66 @@ def adam_update(
     return new_params, AdamState(mu=mu, nu=nu, count=count)
 
 
+def sparse_row_adam_update(
+    grads: Any,
+    state: AdamState,
+    params: Any,
+    lr: Any,
+    row_mask: jnp.ndarray,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-15,
+) -> tuple[Any, AdamState]:
+    """Adam over a stack of per-row parameters ([F, ...] leaves) where only
+    `row_mask` rows received real gradients this step: moments, step counts
+    and parameters of the OTHER rows stay frozen instead of decaying toward
+    zero.
+
+    Why (framework extra, no reference counterpart): both this framework
+    and the reference hold all F camera poses in one [F,...] tensor under
+    one Adam, and train round-robin one frame per iteration — so a given
+    camera's momentum decays by b1^(F-1) between its visits and its
+    effective step shrinks far below the LR. That is fine for MASt3R-grade
+    inits (sub-degree error) but cripples recovery from degrees-level pose
+    noise. With row masking, round-robin sampling becomes exactly an
+    independent per-camera Adam (the camera analog of sparse/masked Adam).
+    `state.count` must be a [F] int32 array (see `sparse_row_adam_init`).
+    """
+    mask = row_mask
+    count = state.count + mask.astype(jnp.int32)          # [F]
+    t = count.astype(jnp.float32)
+    c1 = 1.0 - b1**t                                      # [F]
+    c2 = 1.0 - b2**t
+
+    def _b(x, like):  # broadcast [F] against [F, D...]
+        return x.reshape(x.shape + (1,) * (like.ndim - 1))
+
+    mu = jax.tree.map(
+        lambda m, g: jnp.where(_b(mask, m), b1 * m + (1 - b1) * g, m),
+        state.mu, grads)
+    nu = jax.tree.map(
+        lambda v, g: jnp.where(_b(mask, v), b2 * v + (1 - b2) * g * g, v),
+        state.nu, grads)
+
+    if isinstance(lr, (int, float)) or (hasattr(lr, "ndim") and lr.ndim == 0):
+        lr = jax.tree.map(lambda _: lr, params)
+
+    def step(p, m, v, l):
+        # unvisited rows have c1 == 0; the where() discards their lane
+        upd = p - l * (m / jnp.maximum(_b(c1, p), 1e-30)) \
+            / (jnp.sqrt(v / jnp.maximum(_b(c2, p), 1e-30)) + eps)
+        return jnp.where(_b(mask, p), upd, p)
+
+    new_params = jax.tree.map(step, params, mu, nu, lr)
+    return new_params, AdamState(mu=mu, nu=nu, count=count)
+
+
+def sparse_row_adam_init(params: Any, n_rows: int) -> AdamState:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return AdamState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),
+                     count=jnp.zeros((n_rows,), jnp.int32))
+
+
 class CameraPoses(NamedTuple):
     """Dataset-level learnable poses (the reference's `LazyDataReader`
     parameters `R_c2ws_quat [F,4]`, `T_c2ws [F,3]` —

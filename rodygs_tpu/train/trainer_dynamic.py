@@ -136,8 +136,11 @@ class DynTrainer:
                 max_steps=cfg.deform_lr_max_steps)
         else:
             deform_lr = cfg.deform_lr_init
-        net_lrs = jax.tree.map(lambda _: deform_lr, self.state.net)
-        return DynParams(gauss=gauss, motion_coeff=cfg.motion_coeff_lr,
+        from .trainer_static import scene_lr_gate
+        gate = scene_lr_gate(cfg, iteration)  # pose-first warmup
+        net_lrs = jax.tree.map(lambda _: deform_lr * gate, self.state.net)
+        return DynParams(gauss=gauss,
+                         motion_coeff=cfg.motion_coeff_lr * gate,
                          net=net_lrs)
 
     def deformation(self, params: DynParams, t, time_ind):

@@ -63,6 +63,18 @@ class StaticTrainerConfig:
     camera_translation_lr: float = 1e-6
     camera_lr_warmup: int = 0
     camera_total_steps: int = 20000
+    # pose-first warmup (framework extra, no reference counterpart): zero
+    # every SCENE learning rate for the first `scene_lr_delay` iterations so
+    # large pose-init errors are corrected photometrically before the scene
+    # can absorb them (the densify/color race bakes pose error into geometry
+    # otherwise). Camera LRs are NOT gated. 0 = off.
+    scene_lr_delay: int = 0
+    # frame-masked camera Adam (framework extra): freeze the moments/step
+    # counts of pose rows whose frame is not in the batch, so round-robin
+    # frame sampling behaves like an independent Adam per camera (see
+    # optim.sparse_row_adam_update). Off = reference-exact shared-tensor
+    # Adam semantics.
+    camera_sparse_adam: bool = False
     # model
     sh_degree: int = 3
     isotropic: bool = False
@@ -92,13 +104,16 @@ class StaticTrainState(NamedTuple):
     cam_opt: AdamState
 
 
-def init_static_state(store: G.GaussianStore, poses: CameraPoses) -> StaticTrainState:
+def init_static_state(store: G.GaussianStore, poses: CameraPoses,
+                      camera_sparse_adam: bool = False) -> StaticTrainState:
+    from .optim import sparse_row_adam_init
     return StaticTrainState(
         store=store,
         opt=adam_init(store.params),
         stats=init_stats(G.capacity_of(store)),
         poses=poses,
-        cam_opt=adam_init(poses),
+        cam_opt=(sparse_row_adam_init(poses, poses.q_c2w.shape[0])
+                 if camera_sparse_adam else adam_init(poses)),
     )
 
 
@@ -113,7 +128,8 @@ def make_camera_from_poses(poses: CameraPoses, batch: FrameBatch) -> Camera:
 
 
 def _param_lr_tree(cfg: StaticTrainerConfig, iteration, spatial_lr_scale: float):
-    """The six named param-group LRs (`optim_setup`), xyz on its schedule."""
+    """The six named param-group LRs (`optim_setup`), xyz on its schedule.
+    All gated by the pose-first warmup (`scene_lr_delay`)."""
     xyz_lr = expon_lr(
         iteration,
         cfg.position_lr_init * spatial_lr_scale,
@@ -121,14 +137,22 @@ def _param_lr_tree(cfg: StaticTrainerConfig, iteration, spatial_lr_scale: float)
         lr_delay_mult=cfg.position_lr_delay_mult,
         max_steps=cfg.position_lr_max_steps,
     )
+    gate = scene_lr_gate(cfg, iteration)
     return G.GaussianParams(
-        xyz=xyz_lr,
-        features_dc=cfg.feature_lr,
-        features_rest=cfg.feature_lr / 20.0,
-        scaling=cfg.scaling_lr,
-        rotation=cfg.rotation_lr,
-        opacity=cfg.opacity_lr,
+        xyz=xyz_lr * gate,
+        features_dc=cfg.feature_lr * gate,
+        features_rest=cfg.feature_lr / 20.0 * gate,
+        scaling=cfg.scaling_lr * gate,
+        rotation=cfg.rotation_lr * gate,
+        opacity=cfg.opacity_lr * gate,
     )
+
+
+def scene_lr_gate(cfg: StaticTrainerConfig, iteration):
+    """0.0 during the pose-first warmup, 1.0 after (traced-safe)."""
+    if cfg.scene_lr_delay <= 0:
+        return 1.0
+    return jnp.where(iteration <= cfg.scene_lr_delay, 0.0, 1.0)
 
 
 class EscalationPoller:
@@ -232,7 +256,8 @@ class ThreeDGSTrainer:
             # round-robin the alive slots so per-shard densification starts
             # balanced (parallel/sharded.make_sharded_densify docstring)
             store = G.shard_interleave(store, mesh.shape["gauss"])
-        self.state = init_static_state(store, poses)
+        self.state = init_static_state(
+            store, poses, camera_sparse_adam=cfg.camera_sparse_adam)
         self.active_sh_degree = 0
         # fragment capacity preset; escalated from observed demand (one
         # re-jit per tier) when a step reports binning overflow
@@ -318,8 +343,19 @@ class ThreeDGSTrainer:
         cam_lrs = camera_lr_tree(
             iteration, cfg.camera_rotation_lr, cfg.camera_translation_lr,
             cfg.camera_lr_warmup, cfg.camera_total_steps)
-        new_poses, new_cam_opt = adam_update(
-            g_poses, state.cam_opt, state.poses, cam_lrs)
+        if cfg.camera_sparse_adam:
+            # frame-masked Adam: only this batch's pose row advances (see
+            # optim.sparse_row_adam_update — recovers per-camera step sizes
+            # under round-robin frame sampling)
+            from .optim import sparse_row_adam_update
+            n_f = state.poses.q_c2w.shape[0]
+            row_mask = (jnp.arange(n_f, dtype=jnp.int32)
+                        == batch.frame_idx.astype(jnp.int32))
+            new_poses, new_cam_opt = sparse_row_adam_update(
+                g_poses, state.cam_opt, state.poses, cam_lrs, row_mask)
+        else:
+            new_poses, new_cam_opt = adam_update(
+                g_poses, state.cam_opt, state.poses, cam_lrs)
 
         new_stats = accumulate_stats(
             state.stats, g_offset, aux["radii"].astype(jnp.float32),

@@ -266,10 +266,12 @@ def main(args):
         position_lr_max_steps=args.iters,
         densification_interval=100, densify_from_iter=args.densify_from,
         densify_grad_threshold=0.0002, percent_dense=0.01,
-        camera_lr_warmup=0, camera_total_steps=args.iters)
+        camera_lr_warmup=0, camera_total_steps=args.iters,
+        scene_lr_delay=args.scene_lr_delay)
     s_cfg = StaticTrainerConfig(
         camera_rotation_lr=args.camera_rotation_lr,
         camera_translation_lr=args.camera_translation_lr,
+        camera_sparse_adam=args.camera_sparse_adam,
         densify_until_iter=until_s, **common)
     d_cfg = DynTrainerConfig(
         deform_netwidth=128, deform_t_emb_multires=26, num_basis=16,
@@ -537,6 +539,11 @@ if __name__ == "__main__":
     p.add_argument("--camera_rotation_lr", type=float, default=1e-5,
                    help="reference kubric value; raise for hard pose rungs")
     p.add_argument("--camera_translation_lr", type=float, default=1e-6)
+    p.add_argument("--scene_lr_delay", type=int, default=0,
+                   help="pose-first warmup: scene LRs zeroed for the first "
+                        "N iterations (hard pose rungs)")
+    p.add_argument("--camera_sparse_adam", action="store_true",
+                   help="frame-masked camera Adam (per-camera moments)")
     p.add_argument("--resume_every", type=int, default=0,
                    help="save a resume snapshot every N iters (0=off)")
     p.add_argument("--state_dir", default="logs/flagship_state")

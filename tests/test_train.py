@@ -50,6 +50,79 @@ class TestAdam:
         assert float(jnp.abs(new["a"] - 1.0).max()) > 0.05
         np.testing.assert_allclose(new["b"], 1.0)
 
+    def test_sparse_row_adam_equals_independent_adam_under_round_robin(self):
+        """Frame-masked camera Adam: updating rows round-robin with
+        sparse_row_adam_update must produce EXACTLY the trajectory of F
+        independent Adams each seeing only its own visits — while plain
+        shared adam_update decays the inactive rows' moments and falls
+        behind."""
+        from rodygs_tpu.train.optim import (sparse_row_adam_init,
+                                            sparse_row_adam_update)
+        F, D, lr = 3, 4, 0.05
+        rng = np.random.default_rng(0)
+        params = jnp.asarray(rng.normal(size=(F, D)).astype(np.float32))
+        grads = [jnp.asarray(rng.normal(size=(F, D)).astype(np.float32))
+                 for _ in range(9)]
+
+        # round-robin with the sparse update (only row i%F gets its grad)
+        p_s = params
+        st = sparse_row_adam_init(params, F)
+        for i, g in enumerate(grads):
+            mask = jnp.arange(F) == (i % F)
+            p_s, st = sparse_row_adam_update(g, st, p_s, lr, mask)
+
+        # F truly independent scalar Adams over each row's own grads
+        p_ind = np.asarray(params).copy()
+        for f in range(F):
+            row = jnp.asarray(p_ind[f])
+            ost = adam_init(row)
+            for i, g in enumerate(grads):
+                if i % F == f:
+                    row, ost = adam_update(g[f], ost, row, lr)
+            p_ind[f] = np.asarray(row)
+        np.testing.assert_allclose(np.asarray(p_s), p_ind, atol=1e-6)
+
+        # and it differs from shared-tensor Adam (whose inter-visit moment
+        # decay distorts per-row step sizes — momentum shrinks while the
+        # second moment's decay inflates later steps)
+        p_d = params
+        dst = adam_init(params)
+        for i, g in enumerate(grads):
+            masked_g = jnp.where((jnp.arange(F) == (i % F))[:, None], g, 0.0)
+            p_d, dst = adam_update(masked_g, dst, p_d, lr)
+        assert float(jnp.abs(p_d - p_s).max()) > 1e-3
+
+    def test_scene_lr_delay_gates_scene_not_camera(self):
+        """Pose-first warmup: every scene LR is 0 through `scene_lr_delay`
+        iterations and restored after; camera LRs are untouched. Dynamic
+        trainer gates its deform/coeff LRs on the same schedule."""
+        from rodygs_tpu.train.trainer_static import (StaticTrainerConfig,
+                                                     _param_lr_tree)
+        cfg = StaticTrainerConfig(scene_lr_delay=100)
+        during = _param_lr_tree(cfg, jnp.asarray(50.0), 1.0)
+        after = _param_lr_tree(cfg, jnp.asarray(101.0), 1.0)
+        assert all(float(v) == 0.0 for v in jax.tree.leaves(during))
+        assert all(float(v) > 0.0 for v in jax.tree.leaves(after))
+        # off by default: identical to the ungated tree
+        base = _param_lr_tree(StaticTrainerConfig(), jnp.asarray(50.0), 1.0)
+        assert all(float(v) > 0.0 for v in jax.tree.leaves(base))
+
+        from rodygs_tpu.train.trainer_dynamic import (DynTrainer,
+                                                      DynTrainerConfig)
+        from rodygs_tpu.train.losses import LossTerm, MultiLoss
+        store = tiny_store(n=8, cap=16)
+        store = store._replace(time=jnp.zeros(16),
+                               time_ind=jnp.zeros(16, jnp.int32))
+        dt = DynTrainer(
+            DynTrainerConfig(scene_lr_delay=100, num_basis=2,
+                             deform_netwidth=8, deform_t_emb_multires=2),
+            MultiLoss([LossTerm("l1", 1.0, "L1Loss")]), store, 1.0,
+            jax.random.key(0))
+        d_tree = dt.lr_tree(jnp.asarray(50.0))
+        assert all(float(v) == 0.0 for v in jax.tree.leaves(d_tree))
+        a_tree = dt.lr_tree(jnp.asarray(101.0))
+        assert all(float(v) > 0.0 for v in jax.tree.leaves(a_tree))
+
 
 def tiny_store(n=20, cap=64, seed=0):
     rng = np.random.default_rng(seed)
