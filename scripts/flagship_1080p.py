@@ -162,9 +162,21 @@ def main(args):
         return (jnp.clip(out["rendered_image"], 0.0, 1.0),
                 out["rendered_depth"], cam)
 
+    def render_dyn_alpha(cam, t):
+        """Dynamic-only GT alpha — the synthetic analog of the TAM motion
+        masks Kubric ships (`tam_npy2png.py` output consumed by the
+        reference's motion_mask_reader)."""
+        dp = gt_dyn0.params
+        dyn_xyz = dp.xyz + jnp.pad(jnp.asarray(vel * t),
+                                   ((0, cap_gt - N), (0, 0)))
+        out = render(dyn_xyz, G.get_features(dp), G.get_opacity(dp),
+                     G.get_scaling(dp), dp.rotation, cam, 3, W, H,
+                     alive=gt_dyn0.alive, fragment_profile=gt_profile[0])
+        return (out["rendered_alpha"] > 0.3).astype(jnp.float32)
+
     print("[flagship] rendering GT views...", flush=True)
     t0 = time.time()
-    gts, depths, cams = [], [], []
+    gts, depths, cams, masks = [], [], [], []
     for i in range(n_frames):
         img, dep, cam = render_gt(i=i)
         gts.append(jax.device_put(img))
@@ -172,6 +184,8 @@ def main(args):
         # happens in the loss's pearson, which is shift/scale invariant)
         depths.append(jax.device_put(dep))
         cams.append(cam)
+        masks.append(jax.device_put(render_dyn_alpha(cam, i / (n_frames - 1)))
+                     if args.motion_masks else None)
     jax.block_until_ready(gts[-1])
     print(f"[flagship] {n_frames} GT views in {time.time() - t0:.1f}s",
           flush=True)
@@ -200,7 +214,8 @@ def main(args):
     # gets exercised under real overflow pressure, without the degenerate
     # sparse-cloud regime.
     def set_scales(store, base_scales):
-        pad = np.log(np.pad(base_scales * 2.5, ((0, cap_tr - N), (0, 0)),
+        pad = np.log(np.pad(base_scales * args.scale_inflate,
+                            ((0, cap_tr - N), (0, 0)),
                             constant_values=1e-6)).astype(np.float32)
         return store._replace(params=store.params._replace(
             scaling=jnp.asarray(pad)))
@@ -234,12 +249,18 @@ def main(args):
         print(f"[flagship] pose noise: {pose_noise}", flush=True)
     poses = CameraPoses(q_c2w=jnp.asarray(init_q), t_c2w=jnp.asarray(init_t))
 
+    # With --motion_masks the static stage excludes the dynamic region
+    # (mode="static", the reference's masked-loss semantics,
+    # `src/trainer/losses.py:83-105`): un-modeled dynamic content otherwise
+    # biases the pose gradients, which only the static stage produces.
+    s_mode = (("mode", "static"),) if args.motion_masks else ()
     static_loss = MultiLoss([
-        LossTerm("d_ssim", 0.2, "SSIMLoss"),
-        LossTerm("l1", 0.8, "L1Loss"),
-        LossTerm("global_pearson_depth", 0.05, "GlobalPearsonDepthLoss"),
+        LossTerm("d_ssim", 0.2, "SSIMLoss", params=s_mode),
+        LossTerm("l1", 0.8, "L1Loss", params=s_mode),
+        LossTerm("global_pearson_depth", 0.05, "GlobalPearsonDepthLoss",
+                 params=s_mode),
         LossTerm("local_pearson_depth", 0.15, "LocalPearsonDepthLoss",
-                 params=(("box_p", 128), ("p_corr", 0.5))),
+                 params=(("box_p", 128), ("p_corr", 0.5)) + s_mode),
     ])
     dyn_loss = MultiLoss([
         LossTerm("d_ssim", 0.2, "SSIMLoss"),
@@ -266,7 +287,9 @@ def main(args):
         position_lr_max_steps=args.iters,
         densification_interval=100, densify_from_iter=args.densify_from,
         densify_grad_threshold=0.0002, percent_dense=0.01,
-        camera_lr_warmup=0, camera_total_steps=args.iters,
+        camera_lr_warmup=0,
+        camera_total_steps=(args.camera_total_steps
+                            if args.camera_total_steps > 0 else args.iters),
         scene_lr_delay=args.scene_lr_delay)
     s_cfg = StaticTrainerConfig(
         camera_rotation_lr=args.camera_rotation_lr,
@@ -289,7 +312,7 @@ def main(args):
     def batch_for(i):
         t = i / (n_frames - 1)
         return FrameBatch(
-            gt_image=gts[i], gt_depth=depths[i], motion_mask=None,
+            gt_image=gts[i], gt_depth=depths[i], motion_mask=masks[i],
             frame_idx=jnp.asarray(i, jnp.int32),
             time=jnp.asarray(t, jnp.float32),
             fovx=jnp.asarray(fovx), fovy=jnp.asarray(fovy))
@@ -544,6 +567,16 @@ if __name__ == "__main__":
                         "N iterations (hard pose rungs)")
     p.add_argument("--camera_sparse_adam", action="store_true",
                    help="frame-masked camera Adam (per-camera moments)")
+    p.add_argument("--camera_total_steps", type=int, default=-1,
+                   help="cosine-anneal horizon for the camera LRs; > iters "
+                        "keeps late pose steps alive (-1 = iters)")
+    p.add_argument("--scale_inflate", type=float, default=2.5,
+                   help="init-footprint inflation (2.5 exercises the "
+                        "escalation ladder; 1.0 = GT-like for pose rungs)")
+    p.add_argument("--motion_masks", action="store_true",
+                   help="mask the dynamic region out of the static-stage "
+                        "losses (reference masked-loss semantics; masks "
+                        "from GT dynamic alpha)")
     p.add_argument("--resume_every", type=int, default=0,
                    help="save a resume snapshot every N iters (0=off)")
     p.add_argument("--state_dir", default="logs/flagship_state")

@@ -88,7 +88,7 @@ def launch() -> int:
     ]
     rc = 0
     for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=540)
+        out, _ = p.communicate(timeout=840)
         ok = p.returncode == 0 and f"[worker {pid}] OK" in out
         tail = "\n".join(out.strip().splitlines()[-6:])
         print(f"--- worker {pid} (rc={p.returncode}) ---\n{tail}", flush=True)

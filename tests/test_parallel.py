@@ -709,7 +709,7 @@ class TestMultihostBootstrap:
         repo = Path(__file__).resolve().parents[1]
         out = subprocess.run(
             [sys.executable, str(repo / "scripts" / "multihost_smoke.py")],
-            cwd=str(repo), capture_output=True, text=True, timeout=540,
+            cwd=str(repo), capture_output=True, text=True, timeout=900,
             env={k: v for k, v in os.environ.items()
                  if k not in ("XLA_FLAGS", "JAX_PLATFORMS")})
         assert "MULTIHOST_SMOKE PASS" in out.stdout, (
