@@ -223,6 +223,85 @@ def main(args):
     static_store = set_scales(static_store, s_scales)
     dyn_store = set_scales(dyn_store, d_scales)
 
+    def pose_prealign(init_q, init_t, store):
+        """Per-view coarse-to-fine pose pre-alignment against the FROZEN
+        init scene — the train-time reuse of the w_align test-time pose
+        optimizer (`evalsuite/pose_opt.py`), with the pose_grad_only render
+        fast path. Degrees-level pose noise converges to a texture-lock-in
+        local minimum in ~half the views when optimized at full resolution
+        only (probe: 6/12 stuck at 2deg/0.25 noise); a quarter-res first
+        level widens the photometric basin and recovered 12/12 in the same
+        probe. Masked L1 keeps un-modeled dynamic content out of the
+        objective when --motion_masks is on."""
+        from rodygs_tpu.train.optim import adam_init, adam_update
+        sp = store.params
+
+        def pool(img, f):
+            """Average-pool both sides of the residual — classic pyramid
+            alignment. (Rendering AT w/4 instead would shrink these scenes'
+            splats to sub-pixel dust while the pooled GT stays smooth — an
+            inconsistent pair with no alignment signal.)"""
+            if f == 1:
+                return img
+            hh, ww = img.shape[0] // f, img.shape[1] // f
+            if img.ndim == 2:
+                return img.reshape(hh, f, ww, f).mean((1, 3))
+            return img.reshape(hh, f, ww, f, img.shape[-1]).mean((1, 3))
+
+        levels = [(4, args.prealign_steps, 4e-3),
+                  (1, args.prealign_steps, 1e-3)]
+
+        def make_opt(f, steps, lr):
+            def opt_one(q0, t0, gt, m):
+                gt_l = pool(gt, f)
+                keep = 1.0 - (pool(m, f) > 0.25 / (f * f))  # any-dyn excl.
+
+                def loss_fn(q, t):
+                    cam = make_camera(q, t, fovx, fovy, 0.0)
+                    out = render(
+                        sp.xyz, G.get_features(sp), G.get_opacity(sp),
+                        G.get_scaling(sp), sp.rotation, cam, 3, W, H,
+                        alive=store.alive, fragment_profile="wide",
+                        include_normal=False, pose_grad_only=True)
+                    pred = pool(jnp.clip(out["rendered_image"], 0.0, 1.0), f)
+                    return jnp.mean(jnp.abs((pred - gt_l)
+                                            * keep[..., None]))
+
+                vg = jax.value_and_grad(loss_fn, argnums=(0, 1))
+
+                def body(_, carry):
+                    (q, t), opt = carry
+                    _, (gq, gt_) = vg(q, t)
+                    return adam_update((gq, gt_), opt, (q, t), lr)
+
+                (q, t), _ = jax.lax.fori_loop(
+                    0, steps, body, ((q0, t0), adam_init((q0, t0))))
+                return q, t
+            return jax.jit(opt_one)
+
+        opts = [make_opt(*lv) for lv in levels]
+        out_q, out_t = [], []
+        t0 = time.time()
+        for i in range(n_frames):
+            gt_full = gts[i]
+            m_full = (masks[i] if masks[i] is not None
+                      else jnp.zeros(gt_full.shape[:2], jnp.float32))
+            q, t = jnp.asarray(init_q[i]), jnp.asarray(init_t[i])
+            for opt in opts:
+                q, t = opt(q, t, gt_full, m_full)
+            if os.environ.get("RODYGS_PREALIGN_DEBUG") == "1":
+                dq = float(jnp.abs(jnp.asarray(init_q[i]) - q).max())
+                dt_v = float(jnp.abs(jnp.asarray(init_t[i]) - t).max())
+                print(f"[prealign] view {i}: max|dq|={dq:.4f} "
+                      f"max|dt|={dt_v:.4f}", flush=True)
+            out_q.append(np.asarray(q))
+            out_t.append(np.asarray(t))
+        dt_s = time.time() - t0
+        return (np.stack(out_q), np.stack(out_t),
+                {"per_view_s": round(dt_s / n_frames, 3),
+                 "steps_per_level": args.prealign_steps,
+                 "pool_factors": [lv[0] for lv in levels]})
+
     # camera init: exact GT poses, optionally perturbed by a fixed-magnitude
     # random-axis rotation + gaussian translation (MASt3R-like imperfect
     # trajectory — `scripts/run_mast3r/run.py:327` regime). GT image renders
@@ -247,6 +326,15 @@ def main(args):
             "init_scores": _pose_scores(gt_q, gt_t, init_q, init_t),
         }
         print(f"[flagship] pose noise: {pose_noise}", flush=True)
+        if args.pose_prealign:
+            print("[flagship] pose pre-alignment (coarse-to-fine)...",
+                  flush=True)
+            init_q, init_t, info = pose_prealign(init_q, init_t, static_store)
+            pose_noise["prealign"] = info
+            pose_noise["prealign_scores"] = _pose_scores(
+                gt_q, gt_t, init_q, init_t)
+            print(f"[flagship] prealign: {info} -> "
+                  f"{pose_noise['prealign_scores']}", flush=True)
     poses = CameraPoses(q_c2w=jnp.asarray(init_q), t_c2w=jnp.asarray(init_t))
 
     # With --motion_masks the static stage excludes the dynamic region
@@ -494,6 +582,8 @@ def main(args):
         fq = np.asarray(st.state.poses.q_c2w)
         ft = np.asarray(st.state.poses.t_c2w)
         pose_noise["final_scores"] = _pose_scores(gt_q, gt_t, fq, ft)
+        pose_noise["final_q"] = fq.tolist()
+        pose_noise["final_t"] = ft.tolist()
         print(f"[flagship] pose recovery: init={pose_noise['init_scores']} "
               f"final={pose_noise['final_scores']}", flush=True)
 
@@ -567,6 +657,12 @@ if __name__ == "__main__":
                         "N iterations (hard pose rungs)")
     p.add_argument("--camera_sparse_adam", action="store_true",
                    help="frame-masked camera Adam (per-camera moments)")
+    p.add_argument("--pose_prealign", action="store_true",
+                   help="coarse-to-fine per-view pose pre-alignment against "
+                        "the init scene before joint training (the w_align "
+                        "machinery at train init)")
+    p.add_argument("--prealign_steps", type=int, default=250,
+                   help="Adam steps per pre-alignment level")
     p.add_argument("--camera_total_steps", type=int, default=-1,
                    help="cosine-anneal horizon for the camera LRs; > iters "
                         "keeps late pose steps alive (-1 = iters)")
