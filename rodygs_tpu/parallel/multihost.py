@@ -24,6 +24,61 @@ from __future__ import annotations
 import os
 
 
+def barrier(tag: str = "rodygs_ckpt") -> None:
+    """Cross-process barrier; no-op in single-process runs.
+
+    Used around shared-filesystem writes: the primary writes a checkpoint,
+    every process barriers, and only then may any process read it. Without
+    this, a non-primary that reaches `load_resume` before the primary's
+    `os.replace` lands sees FileNotFoundError while the primary blocks in
+    the next collective (the exact round-4 smoke failure mode)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def wait_for_path(path, timeout_s: float = 120.0, poll_s: float = 0.25):
+    """Bounded wait for a shared-filesystem path to become visible.
+
+    Multi-process only (shared NFS/GCS-fuse mounts can lag the writer by
+    seconds); single-process runs return immediately and let the caller's
+    open() raise its own error for a genuinely missing file."""
+    import os
+    import time
+
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    deadline = time.monotonic() + timeout_s
+    while not os.path.exists(path):
+        if time.monotonic() >= deadline:
+            raise FileNotFoundError(
+                f"{path} not visible on process {jax.process_index()} "
+                f"after {timeout_s:.0f}s")
+        time.sleep(poll_s)
+
+
+def broadcast_flag(value: bool) -> bool:
+    """All processes adopt the PRIMARY's boolean (e.g. 'resume.ckpt
+    exists'). Divergent per-process filesystem views must never split
+    control flow across a collective program — one process entering
+    `load_resume` while another skips it deadlocks the mesh."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return bool(value)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    out = multihost_utils.broadcast_one_to_all(
+        np.asarray([1 if value else 0], np.int32))
+    return bool(np.asarray(out)[0])
+
+
 def is_primary() -> bool:
     """True when this process owns shared-filesystem writes (checkpoints,
     code snapshots, eval PNGs/result.yaml, videos).

@@ -183,8 +183,11 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
             batch, rng, iteration)
 
         lr_tree = _param_lr_tree(cfg, iteration, spatial_lr_scale)
+        from ..train.trainer_static import scene_lr_gate
+        gate = scene_lr_gate(cfg, iteration)
         new_params, new_opt = adam_update(
-            g_params, state.opt, state.store.params, lr_tree)
+            g_params, state.opt, state.store.params, lr_tree,
+            update_gate=gate if cfg.scene_lr_delay > 0 else None)
         cam_lrs = camera_lr_tree(
             iteration, cfg.camera_rotation_lr, cfg.camera_translation_lr,
             cfg.camera_lr_warmup, cfg.camera_total_steps)
@@ -201,6 +204,12 @@ def make_sharded_static_step(cfg: StaticTrainerConfig, loss, mesh: Mesh,
             new_poses, new_cam_opt = adam_update(
                 g_poses, state.cam_opt, state.poses, cam_lrs)
         new_stats = jax.tree.map(lambda s, d: s + d, state.stats, stat_delta)
+        if cfg.scene_lr_delay > 0:
+            # pose-first warmup: frozen-scene densify stats are biased too
+            new_stats = jax.tree.map(
+                lambda n, o: jnp.where(
+                    jnp.asarray(gate, jnp.float32) > 0.0, n, o),
+                new_stats, state.stats)
         new_state = StaticTrainState(
             store=state.store._replace(params=new_params),
             opt=new_opt, stats=new_stats,
@@ -507,8 +516,11 @@ def make_sharded_dynamic_step(dyn_trainer, cfg, loss, mesh: Mesh):
             dyn_state.store.alive, dyn_state.store.time_ind,
             batch, rng)
 
+        from ..train.trainer_static import scene_lr_gate
+        d_gate = scene_lr_gate(cfg, iteration)
         new_params, new_opt = adam_update(
-            g_params, dyn_state.opt, params, dyn_trainer.lr_tree(iteration))
+            g_params, dyn_state.opt, params, dyn_trainer.lr_tree(iteration),
+            update_gate=d_gate if cfg.scene_lr_delay > 0 else None)
         new_stats = jax.tree.map(
             lambda s_, d: s_ + d,
             dyn_state.stats._replace(

@@ -137,11 +137,18 @@ class TrainingRun:
     def train(self, resume: bool = False):
         from ..utils.profiling import StepTimer
 
+        from ..parallel.multihost import broadcast_flag
+
         key = jax.random.key(self.seed)
         start_iter = 1
         resume_path = (self.logdir / "resume.ckpt"
                        if self.logdir is not None else None)
-        if resume and resume_path is not None and resume_path.exists():
+        # multi-host: the PRIMARY's filesystem view decides; a split
+        # decision (one process resuming, another not) would desync the
+        # collective program and deadlock the mesh
+        do_resume = broadcast_flag(
+            resume and resume_path is not None and resume_path.exists())
+        if do_resume:
             self.joint.logdir = Path(self.logdir)
             start_iter, key = self.joint.load_resume(resume_path)
             self._log(f"resumed from {resume_path} at iteration {start_iter}")

@@ -44,10 +44,18 @@ def adam_update(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-15,
+    update_gate=None,
 ) -> tuple[Any, AdamState]:
     """One Adam step. `lr` is either a scalar or a pytree of scalars matching
     `params`' structure (the reference's named param groups). Bias correction
-    and eps placement follow torch.optim.Adam exactly."""
+    and eps placement follow torch.optim.Adam exactly.
+
+    `update_gate` (traced scalar 0/1, optional): when 0 the step is a
+    FULL no-op — params, moments AND count all stay frozen. Zeroing only
+    the LR is not enough during a pose-first warmup (`scene_lr_delay`):
+    grads computed against still-uncorrected poses would keep folding into
+    mu/nu and advancing count, contaminating the first real scene updates
+    when the gate lifts (ADVICE r4)."""
     count = state.count + 1
     t = count.astype(jnp.float32)
     c1 = 1.0 - b1**t
@@ -63,6 +71,13 @@ def adam_update(
         return p - l * (m / c1) / (jnp.sqrt(v / c2) + eps)
 
     new_params = jax.tree.map(step, params, mu, nu, lr)
+    if update_gate is not None:
+        keep = jnp.asarray(update_gate, jnp.float32) > 0.0
+        sel = lambda new, old: jnp.where(keep, new, old)
+        new_params = jax.tree.map(sel, new_params, params)
+        mu = jax.tree.map(sel, mu, state.mu)
+        nu = jax.tree.map(sel, nu, state.nu)
+        count = jnp.where(keep, count, state.count)
     return new_params, AdamState(mu=mu, nu=nu, count=count)
 
 

@@ -150,8 +150,11 @@ class RoDyGSTrainer:
         (total, aux), (g_params, g_offset) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, offset0)
 
+        from .trainer_static import scene_lr_gate
+        d_gate = scene_lr_gate(cfg, iteration)
         new_params, new_opt = adam_update(
-            g_params, dyn_state.opt, params, dyn.lr_tree(iteration))
+            g_params, dyn_state.opt, params, dyn.lr_tree(iteration),
+            update_gate=d_gate if cfg.scene_lr_delay > 0 else None)
         new_stats = accumulate_stats(
             dyn_state.stats, g_offset[:, cs:],
             aux["radii"].astype(jnp.float32), aux["visible"])
@@ -236,44 +239,59 @@ class RoDyGSTrainer:
         return metrics
 
     def save_checkpoints(self, iteration: int):
-        from ..parallel.multihost import is_primary
+        from ..parallel.multihost import barrier, is_primary
         from ..utils.checkpoint import save_checkpoint
 
-        if not is_primary():  # multi-host: exactly one writer per logdir
-            return
-        assert self.logdir is not None
-        self.logdir.mkdir(parents=True, exist_ok=True)
-        save_checkpoint(self.logdir / "static_last.ckpt",
-                        self.static.state_dict(iteration), iteration)
-        if not self.skip_dynamic:
-            save_checkpoint(self.logdir / "dynamic_last.ckpt",
-                            self.dynamic.state_dict(iteration), iteration)
+        # multi-host: exactly one writer per logdir; every process then
+        # barriers so no reader can race the primary's os.replace
+        if is_primary():
+            assert self.logdir is not None
+            self.logdir.mkdir(parents=True, exist_ok=True)
+            save_checkpoint(self.logdir / "static_last.ckpt",
+                            self.static.state_dict(iteration), iteration)
+            if not self.skip_dynamic:
+                save_checkpoint(self.logdir / "dynamic_last.ckpt",
+                                self.dynamic.state_dict(iteration), iteration)
+        barrier("rodygs_ckpt")
 
     # --- mid-training resume (new capability: the reference checkpoints only
     # at the END of training and has no resume path — SURVEY.md §5.4) -------
 
     def save_resume(self, path, iteration: int, key):
-        from ..parallel.multihost import is_primary
+        from ..parallel.multihost import barrier, is_primary
         from ..utils.checkpoint import save_checkpoint
 
-        if not is_primary():  # multi-host: exactly one writer per logdir
-            return
-        payload = {
-            "iteration": iteration,
-            "rng_key": jax.random.key_data(key),
-            "static": {"state": self.static.state,
-                       "sh": self.static.active_sh_degree},
-        }
-        if not self.skip_dynamic:
-            payload["dynamic"] = {"state": self.dynamic.state,
-                                  "sh": self.dynamic.active_sh_degree,
-                                  "unique_times": self.dynamic.unique_times}
-        save_checkpoint(path, payload, iteration)
+        # multi-host: exactly one writer per logdir; the trailing barrier
+        # makes save_resume a sync point so a subsequent load_resume on ANY
+        # process sees the completed file (round-4 regression: a
+        # non-primary raced ahead, hit FileNotFoundError, and the primary
+        # hung in the next collective)
+        if is_primary():
+            payload = {
+                "iteration": iteration,
+                "rng_key": jax.random.key_data(key),
+                "static": {"state": self.static.state,
+                           "sh": self.static.active_sh_degree},
+            }
+            if not self.skip_dynamic:
+                payload["dynamic"] = {
+                    "state": self.dynamic.state,
+                    "sh": self.dynamic.active_sh_degree,
+                    "unique_times": self.dynamic.unique_times}
+            save_checkpoint(path, payload, iteration)
+        barrier("rodygs_ckpt")
 
     def load_resume(self, path):
-        """Restore trainer state; returns (next_iteration, rng_key)."""
+        """Restore trainer state; returns (next_iteration, rng_key).
+
+        Multi-host: callers must reach this on every process (gate the
+        decision through `multihost.broadcast_flag` when it depends on a
+        filesystem check); the bounded `wait_for_path` covers shared-FS
+        visibility lag behind the primary's write."""
+        from ..parallel.multihost import wait_for_path
         from ..utils.checkpoint import load_checkpoint
 
+        wait_for_path(path)
         payload, iteration = load_checkpoint(path)
 
         def as_jnp(tree):

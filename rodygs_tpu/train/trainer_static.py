@@ -337,8 +337,13 @@ class ThreeDGSTrainer:
         g_params, g_poses, g_offset = grads
 
         lr_tree = _param_lr_tree(cfg, iteration, self.spatial_lr_scale)
+        # pose-first warmup: freeze the scene Adam ENTIRELY (moments +
+        # count, not just LRs) so warmup-phase grads against uncorrected
+        # poses never contaminate post-gate updates (ADVICE r4)
+        gate = scene_lr_gate(cfg, iteration)
         new_params, new_opt = adam_update(
-            g_params, state.opt, state.store.params, lr_tree)
+            g_params, state.opt, state.store.params, lr_tree,
+            update_gate=gate if cfg.scene_lr_delay > 0 else None)
 
         cam_lrs = camera_lr_tree(
             iteration, cfg.camera_rotation_lr, cfg.camera_translation_lr,
@@ -360,6 +365,13 @@ class ThreeDGSTrainer:
         new_stats = accumulate_stats(
             state.stats, g_offset, aux["radii"].astype(jnp.float32),
             aux["visible"])
+        if cfg.scene_lr_delay > 0:
+            # densify stats from the frozen-scene warmup would bias the
+            # first post-gate densify decisions — gate them too (ADVICE r4)
+            new_stats = jax.tree.map(
+                lambda n, o: jnp.where(
+                    jnp.asarray(gate, jnp.float32) > 0.0, n, o),
+                new_stats, state.stats)
 
         new_state = StaticTrainState(
             store=state.store._replace(params=new_params),

@@ -136,12 +136,20 @@ def convert(out_path: str, alex_pth: str | None = None,
 
 def bootstrap(cache_dir: str, out_path: str,
               allow_unpinned: bool = False,
-              manifest_path: str | None = None) -> None:
+              manifest_path: str | None = None,
+              pin: bool = False) -> None:
     """One-command path for the first environment WITH egress (VERDICT r3
     #9): download every file in scripts/lpips_manifest.json into
     `cache_dir`, verify the pinned sha256 (prefix for torch-hub files, full
     where recorded), convert, and print the full hashes so the manifest can
-    be tightened. Idempotent: existing verified files are reused."""
+    be tightened. Idempotent: existing verified files are reused.
+
+    `pin=True` (trust-on-first-use): files with no recorded pin are
+    accepted on this ONE run and their computed sha256_full values are
+    written back into the manifest, so every later bootstrap verifies all
+    entries by default. Files that already carry a pin are still verified
+    first — --pin can tighten a prefix pin to a full one but never bypass
+    a failing check."""
     import hashlib
     import json
     import urllib.request
@@ -167,14 +175,18 @@ def bootstrap(cache_dir: str, out_path: str,
         elif spec.get("sha256_prefix"):
             ok = digest.startswith(spec["sha256_prefix"])
         else:
-            ok = allow_unpinned
+            ok = allow_unpinned or pin
             if not ok:
                 raise SystemExit(
                     f"{key}: no pin recorded in the manifest and "
                     f"--allow_unpinned not given; got sha256 {digest}. "
-                    "Verify the file out-of-band, then record sha256_full "
-                    "in scripts/lpips_manifest.json or rerun with "
-                    "--allow_unpinned.")
+                    "Run once with --pin to record sha256_full into "
+                    "scripts/lpips_manifest.json (trust-on-first-use), "
+                    "or verify the file out-of-band and record it "
+                    "manually, or rerun with --allow_unpinned.")
+            if pin:
+                print(f"[lpips-bootstrap] {key}: TRUST-ON-FIRST-USE — "
+                      f"pinning sha256 {digest}")
         if not ok:
             raise SystemExit(
                 f"{key}: sha256 mismatch for {dest}: got {digest}, "
@@ -186,6 +198,19 @@ def bootstrap(cache_dir: str, out_path: str,
     convert(out_path, alex_pth=paths["alex_backbone"],
             vgg_pth=paths["vgg_backbone"],
             heads_dir=os.path.dirname(paths["alex_head"]))
+    if pin:
+        # record every verified digest so later bootstraps are fully pinned
+        with open(manifest_path) as f:
+            full = json.load(f)
+        for key, digest in digests.items():
+            full["files"][key]["sha256_full"] = digest
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(full, f, indent=2)
+            f.write("\n")
+        os.replace(tmp, manifest_path)
+        print(f"[lpips-bootstrap] recorded sha256_full pins for "
+              f"{len(digests)} files into {manifest_path}")
     print("[lpips-bootstrap] full sha256s (pin these in lpips_manifest.json):")
     for key, digest in digests.items():
         print(f"  {key}: {digest}")
@@ -207,8 +232,13 @@ if __name__ == "__main__":
                              "one-command first-egress path")
     parser.add_argument("--allow_unpinned", action="store_true",
                         help="accept manifest entries with no recorded pin")
+    parser.add_argument("--pin", action="store_true",
+                        help="trust-on-first-use: accept unpinned entries "
+                             "ONCE and write their sha256_full back into "
+                             "the manifest so later runs verify all pins")
     args = parser.parse_args()
     if args.bootstrap:
-        bootstrap(args.bootstrap, args.out, args.allow_unpinned)
+        bootstrap(args.bootstrap, args.out, args.allow_unpinned,
+                  pin=args.pin)
     else:
         convert(args.out, args.alex_pth, args.vgg_pth, args.heads_dir)

@@ -280,27 +280,82 @@ def main(args):
             return jax.jit(opt_one)
 
         opts = [make_opt(*lv) for lv in levels]
-        out_q, out_t = [], []
+
+        def mask_for(i):
+            return (masks[i] if masks[i] is not None
+                    else jnp.zeros(gts[i].shape[:2], jnp.float32))
+
+        @jax.jit
+        def eval_loss(q, t, gt, m):
+            cam = make_camera(q, t, fovx, fovy, 0.0)
+            out = render(
+                sp.xyz, G.get_features(sp), G.get_opacity(sp),
+                G.get_scaling(sp), sp.rotation, cam, 3, W, H,
+                alive=store.alive, fragment_profile="wide",
+                include_normal=False, pose_grad_only=True)
+            keep = 1.0 - (m > 0.0)
+            return jnp.mean(jnp.abs(
+                (jnp.clip(out["rendered_image"], 0.0, 1.0) - gt)
+                * keep[..., None]))
+
+        def run_ladder(i, q, t):
+            for opt in opts:
+                q, t = opt(q, t, gts[i], mask_for(i))
+            return q, t, float(eval_loss(q, t, gts[i], mask_for(i)))
+
+        out_q, out_t, out_loss = [], [], []
         t0 = time.time()
         for i in range(n_frames):
-            gt_full = gts[i]
-            m_full = (masks[i] if masks[i] is not None
-                      else jnp.zeros(gt_full.shape[:2], jnp.float32))
-            q, t = jnp.asarray(init_q[i]), jnp.asarray(init_t[i])
-            for opt in opts:
-                q, t = opt(q, t, gt_full, m_full)
+            q, t, li = run_ladder(i, jnp.asarray(init_q[i]),
+                                  jnp.asarray(init_t[i]))
             if os.environ.get("RODYGS_PREALIGN_DEBUG") == "1":
                 dq = float(jnp.abs(jnp.asarray(init_q[i]) - q).max())
                 dt_v = float(jnp.abs(jnp.asarray(init_t[i]) - t).max())
                 print(f"[prealign] view {i}: max|dq|={dq:.4f} "
-                      f"max|dt|={dt_v:.4f}", flush=True)
+                      f"max|dt|={dt_v:.4f} loss={li:.4f}", flush=True)
             out_q.append(np.asarray(q))
             out_t.append(np.asarray(t))
+            out_loss.append(li)
+
+        # --- loss-gated multi-start retry (VERDICT r4 #2): views stuck in
+        # texture local minima end with a clearly-elevated photometric loss
+        # (probes: diverged >= ~0.022 vs converged ~0.01). Re-run each such
+        # view's ladder initialized from its nearest CONVERGED neighbors'
+        # optimized poses (the w_align nearest-2 trick — adjacent frames of
+        # a video sit inside each other's convergence basins); keep the
+        # lowest-loss result.
+        losses = np.asarray(out_loss)
+        q25 = float(np.percentile(losses, 25))
+        thresh = max(args.prealign_retry_thresh, 1.8 * q25)
+        diverged = np.where(losses > thresh)[0]
+        converged = np.where(losses <= thresh)[0]
+        retries = {"thresh": round(thresh, 5), "diverged": diverged.tolist(),
+                   "rescued": []}
+        if len(diverged) and len(converged):
+            for i in diverged:
+                # nearest converged neighbors by (noisy) init translation —
+                # GT-free, and 5% trans noise keeps the ordering sane
+                d = np.linalg.norm(init_t[converged] - init_t[i], axis=1)
+                nbrs = converged[np.argsort(d)[:2]]
+                for j in nbrs:
+                    q, t, lr_ = run_ladder(i, jnp.asarray(out_q[j]),
+                                           jnp.asarray(out_t[j]))
+                    if lr_ < out_loss[i]:
+                        out_q[i], out_t[i] = np.asarray(q), np.asarray(t)
+                        out_loss[i] = lr_
+                    if lr_ <= thresh:
+                        retries["rescued"].append(int(i))
+                        break
+                if os.environ.get("RODYGS_PREALIGN_DEBUG") == "1":
+                    print(f"[prealign] retry view {i}: from {nbrs.tolist()} "
+                          f"-> loss={out_loss[i]:.4f}", flush=True)
         dt_s = time.time() - t0
         return (np.stack(out_q), np.stack(out_t),
                 {"per_view_s": round(dt_s / n_frames, 3),
                  "steps_per_level": args.prealign_steps,
-                 "pool_factors": [lv[0] for lv in levels]})
+                 "pool_factors": [lv[0] for lv in levels],
+                 "view_losses": [round(v, 5) for v in out_loss],
+                 "retry": retries})
 
     # camera init: exact GT poses, optionally perturbed by a fixed-magnitude
     # random-axis rotation + gaussian translation (MASt3R-like imperfect
@@ -326,7 +381,14 @@ def main(args):
             "init_scores": _pose_scores(gt_q, gt_t, init_q, init_t),
         }
         print(f"[flagship] pose noise: {pose_noise}", flush=True)
-        if args.pose_prealign:
+        # a resumed run restores poses from the trainer state — re-running
+        # the expensive prealign pass would only discard its result
+        _resuming = (args.resume_every
+                     and (Path(args.state_dir) / "resume.ckpt").exists())
+        if args.pose_prealign and _resuming:
+            print("[flagship] prealign skipped (resume checkpoint exists)",
+                  flush=True)
+        elif args.pose_prealign:
             print("[flagship] pose pre-alignment (coarse-to-fine)...",
                   flush=True)
             init_q, init_t, info = pose_prealign(init_q, init_t, static_store)
@@ -411,6 +473,7 @@ def main(args):
     escalations = []
     window_times = []
     alive_traj = []
+    rss_traj = []
     start_iter = 1
     train_s_prev = 0.0
     resumed_from = None
@@ -421,9 +484,16 @@ def main(args):
         # crash/tunnel-blink recovery: restore trainer state + run history
         start_iter, key = joint.load_resume(resume_ckpt)
         side = json.loads(sidecar_path.read_text())
+        if side.get("iteration", start_iter - 1) != start_iter - 1:
+            # crash landed between the sidecar and ckpt publishes; the
+            # trainer state is authoritative, history is advisory stats
+            print(f"[flagship] WARNING: sidecar stamped iter "
+                  f"{side.get('iteration')} vs ckpt iter {start_iter - 1}; "
+                  "run-history stats may be one snapshot off", flush=True)
         window_times = side["window_times"]
         escalations = side["escalations"]
         alive_traj = side["alive_traj"]
+        rss_traj = side.get("rss_traj", [])
         train_s_prev = side["train_s"]
         if side.get("pose_noise"):
             pose_noise = side["pose_noise"]
@@ -434,16 +504,24 @@ def main(args):
               f"(profiles={side['profiles']})", flush=True)
 
     def save_snapshot(it, key):
+        # atomic across the PAIR: write both files to tmp, publish the
+        # sidecar (stamped with `it`) BEFORE the ckpt swap so a crash
+        # between the two replaces leaves ckpt(iter N-1) + sidecar(iter N)
+        # — detected by the stamp check on resume — never a new ckpt with
+        # silently stale history (ADVICE r4)
         state_dir.mkdir(parents=True, exist_ok=True)
         tmp = state_dir / "resume.ckpt.tmp"
         joint.save_resume(tmp, it, key)
-        os.replace(tmp, resume_ckpt)
-        sidecar_path.write_text(json.dumps({
+        side_tmp = state_dir / "resume_sidecar.json.tmp"
+        side_tmp.write_text(json.dumps({
+            "iteration": it,
             "window_times": window_times, "escalations": escalations,
-            "alive_traj": alive_traj,
+            "alive_traj": alive_traj, "rss_traj": rss_traj,
             "train_s": train_s_prev + time.time() - t_train0,
             "pose_noise": pose_noise,
             "profiles": [st.fragment_profile, joint.dyn_fragment_profile]}))
+        os.replace(side_tmp, sidecar_path)
+        os.replace(tmp, resume_ckpt)
 
     t_train0 = time.time()
     t_win = time.time()
@@ -484,6 +562,13 @@ def main(args):
                             int(m["dynamic"]["dropped"]))
             alive_traj.append([it, int(G.num_alive(st.state.store)),
                                int(G.num_alive(joint.dynamic.state.store))])
+            # host RSS per window: the 150k-iteration stability criterion
+            # (VERDICT r4 #5) is a FLAT trajectory — host-side leaks
+            # (trace buffers, compile caches, python state) show here
+            with open("/proc/self/status") as fsta:
+                rss_kb = next(int(line.split()[1]) for line in fsta
+                              if line.startswith("VmRSS"))
+            rss_traj.append([it, rss_kb // 1024])
             if pose_noise:
                 s = _pose_scores(gt_q, gt_t, np.asarray(st.state.poses.q_c2w),
                                  np.asarray(st.state.poses.t_c2w))
@@ -547,6 +632,71 @@ def main(args):
     gt_mid, _, _ = render_gt(cam=cam_mid, t=t_mid)
     psnr_holdout, dropped_ho = psnr_for(cam_mid, gt_mid, t_mid)
 
+    # --- eval_w_align on the holdout view (VERDICT r4 #6): the reference's
+    # test-time pose optimization (`configs/eval/eval_w_align.yaml:4-5` —
+    # 1000 Adam steps @ lr 5e-5 per view) at THIS resolution, timed on the
+    # chip. Init from the nearest TRAINED pose (the test view's own pose is
+    # treated as unknown, the reference's scenario), optimize through the
+    # pose_grad_only fast path, report s/view + the PSNR it buys.
+    w_align = None
+    if args.eval_w_align:
+        from rodygs_tpu.evalsuite.pose_opt import PoseOptimizer
+
+        sp_ = st.state.store.params
+        dyn_state_ = joint.dynamic.state
+        from rodygs_tpu.train.trainer_dynamic import DynParams
+        params_ = DynParams(gauss=dyn_state_.store.params,
+                            motion_coeff=dyn_state_.motion_coeff,
+                            net=dyn_state_.net)
+        transl_, rotd_ = dt.deformation(
+            params_, jnp.asarray(t_mid, jnp.float32),
+            dyn_state_.store.time_ind)
+        gp_ = params_.gauss
+        cat = dict(
+            xyz=jnp.concatenate([sp_.xyz, gp_.xyz + transl_]),
+            feats=jnp.concatenate([G.get_features(sp_),
+                                   G.get_features(gp_)]),
+            opac=jnp.concatenate([G.get_opacity(sp_), G.get_opacity(gp_)]),
+            scal=jnp.concatenate([G.get_scaling(sp_), G.get_scaling(gp_)]),
+            rot=jnp.concatenate([sp_.rotation,
+                                 G.get_rotation(gp_) + rotd_]),
+            alive=jnp.concatenate([st.state.store.alive,
+                                   dyn_state_.store.alive]))
+
+        def render_fn(cam):
+            out = render(cat["xyz"], cat["feats"], cat["opac"], cat["scal"],
+                         cat["rot"], cam, 3, W, H, alive=cat["alive"],
+                         fragment_profile=joint.dyn_fragment_profile,
+                         include_normal=False, pose_grad_only=True)
+            return jnp.clip(out["rendered_image"], 0.0, 1.0)
+
+        trained_mats = _c2w_mats(np.asarray(st.state.poses.q_c2w),
+                                 np.asarray(st.state.poses.t_c2w))
+        gt_mid_mat = _c2w_mats(np.asarray(cam_mid.q_c2w)[None],
+                               np.asarray(cam_mid.t_c2w)[None])[0]
+        po = PoseOptimizer(trained_mats, trained_mats, render_fn,
+                           camera_lr=5e-5, num_opts=1000)
+        # PSNR from the raw nearest-train init (what no alignment gives)
+        near = trained_mats[
+            int(np.argsort(np.linalg.norm(
+                trained_mats[:, :3, 3] - gt_mid_mat[:3, 3], axis=1))[0])]
+        from rodygs_tpu.ops.quaternion import matrix_to_quat
+        cam_near = cam_mid._replace(
+            q_c2w=jnp.asarray(matrix_to_quat(jnp.asarray(near[:3, :3]))),
+            t_c2w=jnp.asarray(near[:3, 3], jnp.float32))
+        psnr_near, _ = psnr_for(cam_near, gt_mid, t_mid)
+        t_wa = time.time()
+        cam_opt = po(cam_mid, gt_mid_mat, gt_mid)
+        jax.block_until_ready(cam_opt.q_c2w)
+        wa_s = time.time() - t_wa
+        psnr_aligned, _ = psnr_for(cam_opt, gt_mid, t_mid)
+        w_align = {"s_per_view": round(wa_s, 2), "num_opts": 1000,
+                   "camera_lr": 5e-5,
+                   "psnr_nearest_init": round(psnr_near, 2),
+                   "psnr_aligned": round(psnr_aligned, 2),
+                   "psnr_gt_pose": round(psnr_holdout, 2)}
+        print(f"[flagship] eval_w_align: {w_align}", flush=True)
+
     mem = {}
     try:
         stats = jax.local_devices()[0].memory_stats()
@@ -595,6 +745,8 @@ def main(args):
                      "sh_up_start": args.sh_up_start},
         "pose_noise": pose_noise or None,
         "alive_traj": alive_traj,
+        "rss_traj_mb": rss_traj,
+        "eval_w_align": w_align,
         "resumed_from": resumed_from,
         "steps": args.iters,
         "step_ms_median": round(steady * 1e3, 1),
@@ -661,6 +813,13 @@ if __name__ == "__main__":
                    help="coarse-to-fine per-view pose pre-alignment against "
                         "the init scene before joint training (the w_align "
                         "machinery at train init)")
+    p.add_argument("--eval_w_align", action="store_true",
+                   help="run the 1000-step test-time pose opt on the "
+                        "holdout view and record s/view + PSNR delta")
+    p.add_argument("--prealign_retry_thresh", type=float, default=0.022,
+                   help="absolute per-view loss above which a prealigned "
+                        "view counts as diverged and gets the multi-start "
+                        "retry (also gated at 1.8x the 25th pct loss)")
     p.add_argument("--prealign_steps", type=int, default=250,
                    help="Adam steps per pre-alignment level")
     p.add_argument("--camera_total_steps", type=int, default=-1,

@@ -53,12 +53,16 @@ def worker(pid: int) -> None:
 
     # --- filesystem discipline: exactly one writer per shared logdir ------
     fsdir = Path(os.environ["SMOKE_FS_DIR"])
-    from rodygs_tpu.parallel.multihost import is_primary
+    from rodygs_tpu.parallel.multihost import barrier, is_primary
     from rodygs_tpu.utils.checkpoint import save_checkpoint
 
     if is_primary():
         assert jax.process_index() == 0
         save_checkpoint(fsdir / "static_last.ckpt", {"writer": pid}, 1)
+        # match the two barriers the non-primary's gated save_resume /
+        # save_checkpoints calls issue (both use the "rodygs_ckpt" tag)
+        barrier("rodygs_ckpt")
+        barrier("rodygs_ckpt")
     else:
         # drive the REAL gates on an uninitialized instance: if the
         # is_primary early-return were removed, these would raise
@@ -79,6 +83,12 @@ def launch() -> int:
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     fsdir = tempfile.mkdtemp(prefix="multihost_fs_")
     env["SMOKE_FS_DIR"] = fsdir
+    # shared dir for the dry run's resume roundtrip: the primary writes
+    # dryrun_resume.ckpt here, BOTH processes read it back (the round-4
+    # per-process-tempdir regression made worker 1 FileNotFoundError)
+    shared_tmp = os.path.join(fsdir, "shared_tmp")
+    os.makedirs(shared_tmp)
+    env["RODYGS_SHARED_TMP"] = shared_tmp
     procs = [
         subprocess.Popen(
             [sys.executable, __file__, "--worker", str(pid)],
@@ -95,11 +105,15 @@ def launch() -> int:
         rc |= 0 if ok else 1
 
     # exactly-one-writer assertion: the primary's checkpoint exists and
-    # records process 0; nothing else wrote to the shared dir
+    # records process 0; nothing else wrote to the shared dir (shared_tmp
+    # legitimately holds the dry run's primary-written resume roundtrip)
     written = sorted(os.path.basename(f) for f in Path(fsdir).iterdir())
-    if written != ["static_last.ckpt"]:
-        print(f"FS DISCIPLINE VIOLATION: shared dir holds {written}",
-              flush=True)
+    roundtrip = sorted(
+        os.path.basename(f) for f in Path(shared_tmp).iterdir())
+    if written != ["shared_tmp", "static_last.ckpt"] \
+            or roundtrip != ["dryrun_resume.ckpt"]:
+        print(f"FS DISCIPLINE VIOLATION: shared dir holds {written}, "
+              f"shared_tmp holds {roundtrip}", flush=True)
         rc |= 1
     else:
         sys.path.insert(0, str(REPO))

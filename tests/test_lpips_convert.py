@@ -272,6 +272,33 @@ class TestLpipsBootstrap:
         bootstrap(str(tmp_path / "cache"), str(tmp_path / "w.npz"),
                   allow_unpinned=True, manifest_path=str(mp))
 
+    def test_bootstrap_pin_records_hashes_then_verifies(self, tmp_path,
+                                                        monkeypatch, sources):
+        """--pin (trust-on-first-use): the first bootstrap accepts unpinned
+        entries, writes their sha256_full into the manifest, and a SECOND
+        bootstrap verifies against the recorded pins by default — and
+        still rejects a rotated file."""
+        import hashlib
+        import json
+
+        from convert_lpips_weights import bootstrap
+        self._patch_fetch(monkeypatch, sources)
+        mp = self._manifest_for(tmp_path, sources, "none")
+        out = tmp_path / "w.npz"
+        bootstrap(str(tmp_path / "cache"), str(out), manifest_path=str(mp),
+                  pin=True)
+        files = json.loads(mp.read_text())["files"]
+        for key, src in sources.items():
+            assert files[key]["sha256_full"] == hashlib.sha256(
+                src.read_bytes()).hexdigest()
+        # second run: fully pinned, no flags needed
+        bootstrap(str(tmp_path / "cache2"), str(out), manifest_path=str(mp))
+        # rotated upstream file now fails even WITH --pin
+        sources["alex_head"].write_bytes(b"rotated")
+        with pytest.raises(SystemExit, match="mismatch"):
+            bootstrap(str(tmp_path / "cache3"), str(out),
+                      manifest_path=str(mp), pin=True)
+
     def test_repo_manifest_parses_and_covers_all_roles(self):
         import json
         mp = (Path(__file__).resolve().parents[1] / "scripts"

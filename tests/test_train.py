@@ -123,6 +123,36 @@ class TestAdam:
         a_tree = dt.lr_tree(jnp.asarray(101.0))
         assert all(float(v) > 0.0 for v in jax.tree.leaves(a_tree))
 
+    def test_update_gate_freezes_adam_entirely(self):
+        """ADVICE r4: during the pose-first warmup the scene Adam must be a
+        FULL no-op — zeroing only the LR lets warmup grads (computed
+        against uncorrected poses) contaminate mu/nu and advance count, so
+        the first post-gate step applies stale momentum. With update_gate=0
+        the state after N gated steps equals a fresh init, and the first
+        real step matches a fresh Adam's first step exactly."""
+        from rodygs_tpu.train.optim import adam_init, adam_update
+
+        params = jnp.asarray(np.random.default_rng(0).normal(size=(6, 3)),
+                             jnp.float32)
+        st = adam_init(params)
+        garbage = jnp.ones_like(params) * 7.3
+        p = params
+        for _ in range(5):  # gated steps: full no-op
+            p, st = adam_update(garbage, st, p, 1e-2,
+                                update_gate=jnp.asarray(0.0))
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(params))
+        assert int(st.count) == 0
+        assert float(jnp.abs(st.mu).max()) == 0.0
+        assert float(jnp.abs(st.nu).max()) == 0.0
+        # first ungated step == fresh Adam's first step
+        real_g = jnp.full_like(params, 0.5)
+        p1, st1 = adam_update(real_g, st, p, 1e-2,
+                              update_gate=jnp.asarray(1.0))
+        p2, st2 = adam_update(real_g, adam_init(params), params, 1e-2)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=0,
+                                   atol=0)
+        assert int(st1.count) == int(st2.count) == 1
+
 
 def tiny_store(n=20, cap=64, seed=0):
     rng = np.random.default_rng(seed)
