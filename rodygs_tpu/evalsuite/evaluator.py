@@ -193,7 +193,7 @@ class RoDyGSEvaluator:
                          include_normal=False)
             if not bool(out["overflow"]):
                 fit = fit_capacity(xyz.shape[0], int(out["num_fragments"]))
-                if fit * 3 // 2 <= fragment_capacity(
+                if fit * 5 // 4 <= fragment_capacity(
                         xyz.shape[0], self.fragment_profile):
                     self.fragment_profile = fit
                 return

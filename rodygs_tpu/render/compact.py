@@ -95,6 +95,12 @@ FRAGMENT_PROFILES = {"lean": 6, "wide": 12, "huge": 24}
 PROFILE_LADDER = ("lean", "wide", "huge")
 # fragment indices ride the kernels as f32; they must stay integer-exact
 MAX_FRAGMENT_CAPACITY = (1 << 24) - FCHUNK
+# geometric step of the beyond-ladder / demand-fit capacity grid. 1.25 (not
+# the original 1.5): joint (capacity, bands) fitting needs grid points close
+# enough that the banded structural floor doesn't bounce the fit up a whole
+# 50% step (which made band-friendly shrinks unreachable from the ladder
+# tiers); ~47 distinct values to the 2^24 cap still bounds re-jit count.
+CAP_GRID_STEP = 1.25
 
 
 def next_profile(profile: str) -> str | None:
@@ -103,31 +109,107 @@ def next_profile(profile: str) -> str | None:
     return PROFILE_LADDER[i + 1] if i + 1 < len(PROFILE_LADDER) else None
 
 
-def profile_for_demand(n: int, demand: int, current: str | int = "lean"):
+# Sort banding: split the fragment sort into `bands` independent 1D sorts
+# over contiguous tile-row ranges (fragments partition exactly by tile, and
+# band tile-ids are contiguous, so concatenating the per-band sorted arrays
+# IS the global (tile, depth) order). Measured on v5e
+# (scripts/sort_microbench{,3}.py): one 5.76M x 12-operand sort costs
+# 64.5 ms while 4 unrolled 1.24M sorts cost 42.6 ms — the sort's cost curve
+# is superlinear in extent, so banding buys ~1/3 of the step's dominant
+# cost at 1080p. The price is the structural floor: every store slot emits
+# >= 1 fragment PER BAND (the monotone-window invariant is per enumeration),
+# so total capacity grows by (bands-1)*n — which is why the band count is a
+# DEMAND-DRIVEN decision (bands_decision, driven by the EscalationPoller)
+# encoded into the fragment-profile static knob as a (profile, bands)
+# tuple, not a tile-grid default: banding only pays when real demand >> n.
+
+
+def split_profile(profile):
+    """(capacity_profile, bands) from a fragment-profile knob. Plain ladder
+    names / explicit ints mean 1 band; (profile, bands) tuples (or lists,
+    for JSON round-trips) carry a band count."""
+    if isinstance(profile, (tuple, list)):
+        return profile[0], int(profile[1])
+    return profile, 1
+
+
+def join_profile(profile, bands: int):
+    """Inverse of split_profile (hashable, so usable as a jit static)."""
+    return profile if bands <= 1 else (profile, int(bands))
+
+
+# per-band sort extents below this sit on the near-linear left side of the
+# measured cost curve where splitting stops paying (scripts/sort_microbench)
+_BAND_MIN_EXTENT = 1_200_000
+# two-threshold hysteresis against band thrash: balanced boundaries keep
+# per-band real demand within a few % of demand/bands (row granularity), so
+# a state is VIABLE while the floor + 3%-margined demand fits, but the
+# poller only UPGRADES into a state with 10% demand headroom — otherwise a
+# marginal fit would oscillate band-overflow -> reduce -> re-upgrade.
+BAND_KEEP_MARGIN = 1.03
+BAND_UPGRADE_MARGIN = 1.10
+
+
+def bands_viable(n: int, capacity: int, demand: int, bands: int,
+                 margin: float = BAND_KEEP_MARGIN) -> bool:
+    """Whether `bands` sorts fit `capacity`: banded structural floor
+    (bands * n) plus margined demand, with each band keeping enough extent
+    to sit in the sort cost curve's superlinear region."""
+    if bands <= 1:
+        return True
+    return (capacity // bands >= _BAND_MIN_EXTENT
+            and bands * n + int(margin * demand) <= capacity)
+
+
+def bands_decision(n: int, capacity: int, demand: int,
+                   margin: float = BAND_UPGRADE_MARGIN) -> int:
+    """Largest worthwhile band count for a (store capacity n, fragment
+    capacity, observed real demand) state."""
+    best = 1
+    for b in (2, 3, 4):
+        if bands_viable(n, capacity, demand, b, margin):
+            best = b
+    return best
+
+
+def profile_for_demand(n: int, demand: int, current: str | int = "lean",
+                       bands: int = 1):
     """Pick the capacity for an observed true fragment demand (the
     `num_fragments` a trainer step reports when it overflows).
 
     Returns the smallest ladder profile whose capacity covers 1.25x the
     demand, or — beyond the ladder (big footprints at 1080p can exceed the
-    24N "huge" tier many-fold) — an explicit integer capacity from a 1.5x
-    grid, so the number of distinct re-jits stays bounded as demand grows.
+    24N "huge" tier many-fold) — an explicit integer capacity from the
+    CAP_GRID_STEP geometric grid, so the number of distinct re-jits stays
+    bounded as demand grows.
     Never shrinks below `current`; returns None when no legal growth is
-    possible (the 2^24 f32-exact-index cap — drops keep being reported)."""
+    possible (the 2^24 f32-exact-index cap — drops keep being reported).
+
+    `bands`: sort-band count of the consuming render (bands_decision). The
+    structural floor is n PER band, so the wanted total capacity includes
+    the extra (bands-1)*n slots."""
     cur_cap = fragment_capacity(n, current)
-    want = int(demand * 1.25)
+    # 1.15 growth margin (NOT the fit's 1.25): a tighter escalation target
+    # keeps the ladder reachable — the kubric-like 1080p state (demand
+    # 4.72M, n 240k) must land on the 5.76M "huge" tier, where banding
+    # pays, instead of overshooting to a 7.2M explicit capacity the shrink
+    # hysteresis can't recover from. Worst case the margin is too tight and
+    # ONE more escalation follows (a rare extra re-jit).
+    want = (bands - 1) * n + int(demand * 1.15)
     for p in PROFILE_LADDER:
         cap = fragment_capacity(n, p)
         if cap >= want:
             return p if cap > cur_cap else None
     cap = max(fragment_capacity(n, PROFILE_LADDER[-1]), cur_cap)
     while cap < want and cap < MAX_FRAGMENT_CAPACITY:
-        cap = min(int(cap * 1.5), MAX_FRAGMENT_CAPACITY)
+        cap = min(int(cap * CAP_GRID_STEP), MAX_FRAGMENT_CAPACITY)
     cap = min(-(-cap // FCHUNK) * FCHUNK, MAX_FRAGMENT_CAPACITY)
     return cap if cap > cur_cap else None
 
 
-def fit_capacity(n: int, demand: int) -> int:
-    """Smallest 1.5-geometric-grid capacity (anchored at FCHUNK) covering
+def fit_capacity(n: int, demand: int, bands: int = 1) -> int:
+    """Smallest CAP_GRID_STEP-geometric-grid capacity (anchored at FCHUNK)
+    covering
     the structural floor (every store slot emits one fragment, so >= n)
     plus 1.25x the observed real-fragment demand.
 
@@ -136,14 +218,15 @@ def fit_capacity(n: int, demand: int) -> int:
     not with the true demand, so a converged scene running on the "lean"
     6N tier pays for slots it never fills. Trainers use this to re-jit
     DOWN to a demand-fitted capacity (EscalationPoller, with hysteresis);
-    the geometric grid bounds the number of distinct jit variants (~25 up
-    to the 2^24 cap)."""
-    want = max(n + int(demand * 1.25), FCHUNK)
+    the geometric grid bounds the number of distinct jit variants (~47 up
+    to the 2^24 cap). `bands` scales the structural floor (one fragment per
+    slot PER sort band — bands_for)."""
+    want = max(bands * n + int(demand * 1.25), FCHUNK)
     cap = FCHUNK
     while cap < want:
-        # grow ~1.5x per step, keeping every grid value FCHUNK-aligned
-        # (rounding only at the end would skip grid points)
-        cap = -(-int(cap * 1.5) // FCHUNK) * FCHUNK
+        # grow ~CAP_GRID_STEP per step, keeping every grid value
+        # FCHUNK-aligned (rounding only at the end would skip grid points)
+        cap = -(-int(cap * CAP_GRID_STEP) // FCHUNK) * FCHUNK
     return min(cap, MAX_FRAGMENT_CAPACITY)
 
 
@@ -313,10 +396,12 @@ def build_table(rec13: jnp.ndarray, aux_rows: jnp.ndarray) -> jnp.ndarray:
         [rec13, jax.lax.stop_gradient(aux_rows), pad], axis=0)
 
 
-def fragment_capacity(n: int, profile: str | int) -> int:
-    """Capacity for a ladder profile name, or an explicit integer capacity
-    (as produced by `profile_for_demand`), FCHUNK-rounded and clamped to
-    the f32-exact-index maximum."""
+def fragment_capacity(n: int, profile) -> int:
+    """Capacity for a ladder profile name, an explicit integer capacity
+    (as produced by `profile_for_demand`), or a (profile, bands) tuple
+    (split_profile; the band count does not change the TOTAL capacity),
+    FCHUNK-rounded and clamped to the f32-exact-index maximum."""
+    profile, _ = split_profile(profile)
     if isinstance(profile, str):
         c = FRAGMENT_PROFILES[profile] * n
         c = -(-c // FCHUNK) * FCHUNK
@@ -353,6 +438,7 @@ def build_binning(
     tiles_y: int,
     capacity: int,
     tight: bool | str = False,
+    bands: int = 1,
 ) -> CompactBinning:
     """Build the compact fragment index structure (stop-gradient inputs).
 
@@ -362,6 +448,16 @@ def build_binning(
     ellipse (ellipse_row_spans) for gaussians whose rect is at most
     ROW_SPAN_MAX rows tall (taller ones keep the AABB rect) — ~2x fewer
     fragments again, still only excluding alpha<1/255 fragments.
+
+    bands>1 splits the structure into `bands` contiguous tile-ROW ranges
+    with data-dependent boundaries chosen to balance real fragment counts
+    (from an exact per-tile-row histogram). Each band gets an independent
+    gaussian-major enumeration over capacity//bands slots, so the fragment
+    sort becomes `bands` smaller sorts (see bands_for). Per-tile fragment
+    sets and their depth order are IDENTICAL to bands=1 — band b's sorted
+    block occupies columns [b*Cb, (b+1)*Cb) and tile_starts point into the
+    concatenated array. Returned shapes grow a leading band dim:
+    aux_rows [B, A, Nw], bases [B, Cb/FCHUNK], f_kept [B].
     """
     rows_mode = tight == "rows"
     mean2d = jax.lax.stop_gradient(splats.mean2d)
@@ -390,42 +486,20 @@ def build_binning(
         conic = jax.lax.stop_gradient(splats.conic)
         row_txlo, row_span = ellipse_row_spans(
             mean2d, conic, t_cut, xmin, ymin, xmax, ymax, tiles_x)
-        cnt_rows = jnp.sum(row_span, axis=0)                 # [N]
         rmode = vis & (span_h <= ROW_SPAN_MAX)
         rect_enum = vis & ~rmode       # tall gaussians keep the AABB rect
-        # a rows-mode gaussian whose every row span is empty contributes
-        # nothing: give it the structural 1 fragment (invalid in-kernel)
-        cnt_true = jnp.where(rmode, cnt_rows,
-                             jnp.where(rect_enum, span_w * span_h, 0))
     else:
+        row_txlo = row_span = None
         rmode = jnp.zeros((n,), bool)
         rect_enum = vis
-        cnt_true = jnp.where(vis, span_w * span_h, 0)
 
-    # every slot emits >= 1 fragment so the fragment->gaussian map is
-    # monotone with steps <= 1 (bounds the expand/segsum windows)
-    cnt = jnp.maximum(cnt_true, 1)
-    off_next = jnp.cumsum(cnt)
-    off = off_next - cnt
-    f_all = off_next[-1]
+    bands = max(1, min(int(bands), tiles_y))
+    cap_band = -(-(-(-capacity // bands)) // FCHUNK) * FCHUNK  # ceil both
 
-    # capacity clamp: drop whole gaussians from the tail of the slot range
-    # (off_next is monotone, so `kept` is a prefix and ranges stay exact)
-    kept = off_next <= capacity
-    f_kept = jnp.sum(jnp.where(kept, cnt, 0)).astype(jnp.int32)
-    dropped = jnp.sum(jnp.where(kept, 0, cnt_true))
-    overflow = f_all > capacity
-    # diagnostic demand: real fragments only, ignoring the structural
-    # 1-per-empty-slot fragments and the capacity clamp
-    f_real = jnp.sum(cnt_true)
-
-    # --- per-tile counts: signed rect-corner outer product + 2D prefix ----
-    # each counted rect [y0,y1)x[x0,x1) contributes the 2D difference
-    # outer(d_y0 - d_y1, d_x0 - d_x1); rows-mode gaussians contribute one
-    # 1-row rect per nonempty tile row instead
-    counted = rect_enum & kept
     ys = jnp.arange(tiles_y + 1, dtype=jnp.int32)
     xs = jnp.arange(tiles_x + 1, dtype=jnp.int32)
+    dbits = jnp.where(vis, quantize_depth_bits(depth, db), 0).astype(jnp.float32)
+    iters = max(1, math.ceil(math.log2(max(n, 2))) + 1)
 
     def rect_corners(sel, y0, y1, x0, x1):
         a_rows = (jnp.where(sel[:, None] & (y0[:, None] == ys[None, :]), 1.0, 0.0)
@@ -434,67 +508,156 @@ def build_binning(
                   - jnp.where(sel[:, None] & (x1[:, None] == xs[None, :]), 1.0, 0.0))
         return _mm(a_rows, b_rows, _CONTRACT_FIRST)      # [Ty+1, Tx+1]
 
-    corners = rect_corners(counted, ymin, ymax, xmin, xmax)
+    def band(lo, hi, start_col, cap_b):
+        """One tile-row band [lo, hi) with its own gaussian-major
+        enumeration over cap_b slots starting at records column start_col.
+        bands=1 calls this once with (0, tiles_y, 0, capacity) — the
+        original unbanded structure, unchanged."""
+        bymin = jnp.clip(ymin, lo, hi)
+        bymax = jnp.clip(ymax, lo, hi)
+        bspan_h = bymax - bymin
+        if rows_mode:
+            # absolute row ymin+j is in the band; spans outside mask to 0
+            # and behave exactly like the (already handled) empty rows
+            row_span_b = jnp.stack([
+                jnp.where((ymin + j >= lo) & (ymin + j < hi), row_span[j], 0)
+                for j in range(ROW_SPAN_MAX)])
+            cnt_true = jnp.where(rmode, jnp.sum(row_span_b, axis=0),
+                                 jnp.where(rect_enum, span_w * bspan_h, 0))
+        else:
+            row_span_b = None
+            cnt_true = jnp.where(rect_enum, span_w * bspan_h, 0)
+
+        # every slot emits >= 1 fragment so the fragment->gaussian map is
+        # monotone with steps <= 1 (bounds the expand/segsum windows)
+        cnt = jnp.maximum(cnt_true, 1)
+        off_next = jnp.cumsum(cnt)
+        off = off_next - cnt
+        f_all = off_next[-1]
+
+        # capacity clamp: drop whole gaussians from the tail of the slot
+        # range (off_next is monotone, so `kept` is a prefix, ranges exact)
+        kept = off_next <= cap_b
+        f_kept = jnp.sum(jnp.where(kept, cnt, 0)).astype(jnp.int32)
+        dropped = jnp.sum(jnp.where(kept, 0, cnt_true))
+        overflow = f_all > cap_b
+        # diagnostic demand: real fragments only, ignoring the structural
+        # 1-per-empty-slot fragments and the capacity clamp
+        f_real = jnp.sum(cnt_true)
+
+        # --- per-tile counts: signed rect-corner matmul + 2D prefix ------
+        counted = rect_enum & kept
+        corners = rect_corners(counted, bymin, bymax, xmin, xmax)
+        if rows_mode:
+            # one contraction per row index: fusing the 9 into one
+            # [9N, T+1] matmul moves the same bytes and costs 300+ MB of
+            # concat at training N — per-j launches are the cheaper shape
+            row_kept = rmode & kept
+            for j in range(ROW_SPAN_MAX):
+                sel = row_kept & (row_span_b[j] > 0)
+                corners = corners + rect_corners(
+                    sel, ymin + j, ymin + j + 1,
+                    row_txlo[j], row_txlo[j] + row_span_b[j])
+        counts2d = jnp.cumsum(jnp.cumsum(corners, axis=0), axis=1)
+        tile_counts = jnp.round(
+            counts2d[:tiles_y, :tiles_x].reshape(-1)).astype(jnp.int32)
+        tile_starts = (jnp.cumsum(tile_counts) - tile_counts
+                       + start_col).astype(jnp.int32)
+
+        # --- per-chunk gaussian window bases -----------------------------
+        chunk_q = jnp.arange(cap_b // FCHUNK, dtype=jnp.int32) * FCHUNK
+        # rightmost g with off_next[g] <= q == index of gaussian holding q
+        first_g = _searchsorted_right(off_next, chunk_q, iters)
+        bases = jnp.clip((first_g // 128) * 128, 0, nw - WIN).astype(jnp.int32)
+
+        # --- packed aux rows (all values f32-exact: < 2^24) --------------
+        rvalid = rmode & (cnt_true > 0)  # rows-mode slots w/ real fragments
+        base_tile = jnp.where(
+            rvalid, (ymin * tiles_x).astype(jnp.float32),
+            jnp.where(vis & (bspan_h > 0),
+                      (bymin * tiles_x + xmin).astype(jnp.float32),
+                      float(num_tiles)))
+        parts = [
+            base_tile,
+            dbits,
+            off.astype(jnp.float32),
+            jnp.where(counted & (bspan_h > 0), span_w, 0).astype(jnp.float32),
+        ]
+        if rows_mode:
+            parts.append(rvalid.astype(jnp.float32))
+            # exclusive within-gaussian prefix of the row spans: the kernel
+            # recovers a fragment's row as the last j with rowoff_j <= k
+            # (ties from empty rows resolve to the later, nonempty row);
+            # trailing rows carry rowoff_j = cnt (never <= any valid k)
+            row_prefix = jnp.cumsum(row_span_b, axis=0) - row_span_b
+            parts.append(row_prefix.astype(jnp.float32))
+            parts.append(row_txlo.astype(jnp.float32))
+        aux = jnp.concatenate(
+            [p if p.ndim == 2 else p[None, :] for p in parts], axis=0)
+        aux_rows = jnp.pad(aux, ((0, 0), (0, nw - n)))
+        # pad columns: off must stay monotone & huge so window compares
+        # exclude them
+        pad_off = jnp.arange(nw - n, dtype=jnp.float32) + _OFF_PAD
+        aux_rows = aux_rows.at[2, n:].set(pad_off)
+        return (aux_rows, bases, tile_starts, tile_counts, f_kept, f_real,
+                dropped, overflow)
+
+    if bands == 1:
+        (aux_rows, bases, tile_starts, tile_counts, f_kept, f_real, dropped,
+         overflow) = band(0, tiles_y, 0, capacity)
+        return CompactBinning(
+            aux_rows=aux_rows, bases=bases, tile_starts=tile_starts,
+            tile_counts=tile_counts, f_kept=f_kept,
+            num_fragments=f_real.astype(jnp.int32),
+            dropped=dropped.astype(jnp.int32), overflow=overflow)
+
+    # --- band boundaries: balance REAL fragment counts across bands ------
+    # exact per-tile-row histogram via the 1D weighted corner trick: rect
+    # gaussians add span_w over rows [ymin, ymax); rows-mode gaussians add
+    # row_span[j] at row ymin+j. (pre-clamp counts: balance is a heuristic,
+    # the per-band clamp stays exact regardless)
+    def wsum_at(w, idx):
+        sel = (idx[:, None] == ys[None, :]).astype(jnp.float32)
+        return _mm(w[None, :].astype(jnp.float32), sel, _CONTRACT_MID)[0]
+
+    w_rect = jnp.where(rect_enum, span_w, 0)
+    diff = wsum_at(w_rect, ymin) - wsum_at(w_rect, ymax)
+    row_counts = jnp.cumsum(diff)[:tiles_y]
     if rows_mode:
-        # one contraction per row index: fusing the 9 into one [9N, T+1]
-        # matmul moves the same bytes (the selection blocks must materialize
-        # either way) and costs 300+ MB of concat at training N — the
-        # per-j launches are the cheaper shape
-        row_kept = rmode & kept
         for j in range(ROW_SPAN_MAX):
-            sel = row_kept & (row_span[j] > 0)
-            corners = corners + rect_corners(
-                sel, ymin + j, ymin + j + 1,
-                row_txlo[j], row_txlo[j] + row_span[j])
-    counts2d = jnp.cumsum(jnp.cumsum(corners, axis=0), axis=1)
-    tile_counts = jnp.round(counts2d[:tiles_y, :tiles_x].reshape(-1)).astype(jnp.int32)
-    tile_starts = (jnp.cumsum(tile_counts) - tile_counts).astype(jnp.int32)
+            row_counts = row_counts + wsum_at(
+                jnp.where(rmode, row_span[j], 0), ymin + j)[:tiles_y]
+    cum = jnp.cumsum(row_counts)                          # [Ty]
+    targets = (jnp.arange(1, bands, dtype=jnp.float32) * cum[-1]
+               / float(bands))                            # [B-1]
+    # boundary b = 1 + last row whose cumulative count is below the target
+    his_inner = jnp.minimum(
+        jnp.sum((cum[None, :] < targets[:, None]).astype(jnp.int32),
+                axis=1) + 1,
+        tiles_y)
+    los = jnp.concatenate([jnp.zeros((1,), jnp.int32), his_inner])
+    his = jnp.concatenate([his_inner, jnp.full((1,), tiles_y, jnp.int32)])
 
-    # --- per-chunk gaussian window bases ----------------------------------
-    chunk_q = jnp.arange(capacity // FCHUNK, dtype=jnp.int32) * FCHUNK
-    iters = max(1, math.ceil(math.log2(max(n, 2))) + 1)
-    # rightmost g with off_next[g] <= q  ==  index of gaussian containing q
-    first_g = _searchsorted_right(off_next, chunk_q, iters)
-    bases = jnp.clip((first_g // 128) * 128, 0, nw - WIN).astype(jnp.int32)
-
-    # --- packed aux rows (all values f32-exact: < 2^24) -------------------
-    dbits = jnp.where(vis, quantize_depth_bits(depth, db), 0).astype(jnp.float32)
-    rvalid = rmode & (cnt_true > 0)   # rows-mode slots with real fragments
-    base_tile = jnp.where(
-        rvalid, (ymin * tiles_x).astype(jnp.float32),
-        jnp.where(vis, (ymin * tiles_x + xmin).astype(jnp.float32),
-                  float(num_tiles)))
-    parts = [
-        base_tile,
-        dbits,
-        off.astype(jnp.float32),
-        jnp.where(counted, span_w, 0).astype(jnp.float32),
-    ]
-    if rows_mode:
-        parts.append(rvalid.astype(jnp.float32))
-        # exclusive within-gaussian prefix of the row spans: the kernel
-        # recovers a fragment's row as the last j with rowoff_j <= k (ties
-        # from empty rows resolve to the later, nonempty row); trailing
-        # rows carry rowoff_j = cnt (never <= any valid k)
-        row_prefix = jnp.cumsum(row_span, axis=0) - row_span  # [R, N]
-        parts.append(row_prefix.astype(jnp.float32))
-        parts.append(row_txlo.astype(jnp.float32))
-    aux = jnp.concatenate(
-        [p if p.ndim == 2 else p[None, :] for p in parts], axis=0)
-    aux_rows = jnp.pad(aux, ((0, 0), (0, nw - n)))
-    # pad columns: off must stay monotone & huge so window compares exclude
-    pad_off = jnp.arange(nw - n, dtype=jnp.float32) + _OFF_PAD
-    aux_rows = aux_rows.at[2, n:].set(pad_off)
-
+    outs = [band(los[b], his[b], b * cap_band, cap_band)
+            for b in range(bands)]
+    # per-band tile_counts are zero outside the band's rows: global counts
+    # are the sum, starts select the owning band's (start_col-offset) values
+    tile_row = jnp.arange(num_tiles, dtype=jnp.int32) // tiles_x
+    tile_counts = outs[0][3]
+    tile_starts = outs[0][2]
+    for b in range(1, bands):
+        tile_counts = tile_counts + outs[b][3]
+        in_band = (tile_row >= los[b]) & (tile_row < his[b])
+        tile_starts = jnp.where(in_band, outs[b][2], tile_starts)
     return CompactBinning(
-        aux_rows=aux_rows,
-        bases=bases,
+        aux_rows=jnp.stack([o[0] for o in outs]),
+        bases=jnp.stack([o[1] for o in outs]),
         tile_starts=tile_starts,
         tile_counts=tile_counts,
-        f_kept=f_kept,
-        num_fragments=f_real.astype(jnp.int32),
-        dropped=dropped.astype(jnp.int32),
-        overflow=overflow,
+        f_kept=jnp.stack([o[4] for o in outs]),
+        num_fragments=sum(o[5] for o in outs).astype(jnp.int32),
+        dropped=sum(o[6] for o in outs).astype(jnp.int32),
+        overflow=functools.reduce(jnp.logical_or, [o[7] for o in outs]),
     )
 
 
@@ -801,13 +964,14 @@ def _stack_records(rows):
     ], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def composite_compact(table, bases, f_kept, tile_starts, tile_counts,
                       tile_id_offset, tiles_x: int, tiles_y: int,
                       include_normal: bool = True,
                       bwd_unsort: str = "sort",
                       bf16_payload: bool = False,
-                      fwd_records: str = "sort"):
+                      fwd_records: str = "sort",
+                      bands: int = 1):
     """Differentiable fragment compositing over the compact index structure.
 
     table: [24 or 40 (rows mode), Nw] — rows 0..12 are the differentiable record
@@ -848,89 +1012,122 @@ def composite_compact(table, bases, f_kept, tile_starts, tile_counts,
         measurement (RODYGS_FWD_RECORDS=gather to A/B). Numerically
         identical; composes with bf16_payload (the gather then moves the
         packed i32 rows).
+
+    bands>1 consumes the banded structure of build_binning(bands=): table
+    [B, R, Nw], bases [B, Cb/FCHUNK], f_kept [B]. Each band expands and
+    sorts independently (B smaller sorts — the measured sort cost curve is
+    superlinear in extent, scripts/sort_microbench3.py) and the sorted
+    blocks concatenate into the global records array tile_starts already
+    points into. The backward unsorts and segment-sums per band; d_table
+    is [B, R, Nw] (the caller's stacked-table construction sums the bands'
+    record-row cotangents automatically).
     """
     out, _ = _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
                             tile_id_offset, tiles_x, tiles_y, include_normal,
-                            bwd_unsort, bf16_payload, fwd_records)
+                            bwd_unsort, bf16_payload, fwd_records, bands)
     return out
 
 
 def _composite_fwd(table, bases, f_kept, tile_starts, tile_counts,
                    tile_id_offset, tiles_x, tiles_y, include_normal,
-                   bwd_unsort="sort", bf16_payload=False, fwd_records="sort"):
+                   bwd_unsort="sort", bf16_payload=False, fwd_records="sort",
+                   bands=1):
     from .tile_kernel import rasterize_fwd_impl
 
     db = depth_key_bits(tiles_x, tiles_y)
-    key, rec = expand_fragments(table, bases, f_kept, tiles_x=tiles_x, db=db)
-    if not include_normal:
-        rec = rec[:N_CORE_ROWS]
-    n_rows = rec.shape[0]
-    payload = pack_bf16_payload(rec) if bf16_payload else rec
-    if fwd_records == "gather":
-        capacity = key.shape[0]
-        iota = jnp.arange(capacity, dtype=jnp.int32)
-        presort_idx = jax.lax.sort((key, iota), num_keys=1, is_stable=True)[1]
-        rows = jnp.take(payload, presort_idx, axis=1)
-    else:
-        presort_idx, rows = _sort_fragments(key, payload)
-    if bf16_payload:
-        rows = unpack_bf16_payload(rows, n_rows)
-    if bwd_unsort == "gather":
-        c = presort_idx.shape[0]
-        iota = jnp.arange(c, dtype=jnp.int32)
-        # inv[presort_idx[i]] = i: conflict-free scatter of a permutation
-        unsort_idx = jnp.zeros((c,), jnp.int32).at[presort_idx].set(
-            iota, unique_indices=True)
-    else:
-        unsort_idx = presort_idx
-    records = _stack_records(rows)
+    banded = bands > 1
+    rows_parts, unsort_parts = [], []
+    for b in range(bands):
+        tab = table[b] if banded else table
+        key, rec = expand_fragments(tab, bases[b] if banded else bases,
+                                    f_kept[b] if banded else f_kept,
+                                    tiles_x=tiles_x, db=db)
+        if not include_normal:
+            rec = rec[:N_CORE_ROWS]
+        n_rows = rec.shape[0]
+        payload = pack_bf16_payload(rec) if bf16_payload else rec
+        if fwd_records == "gather":
+            capacity = key.shape[0]
+            iota = jnp.arange(capacity, dtype=jnp.int32)
+            presort_idx = jax.lax.sort((key, iota), num_keys=1,
+                                       is_stable=True)[1]
+            rows = jnp.take(payload, presort_idx, axis=1)
+        else:
+            presort_idx, rows = _sort_fragments(key, payload)
+        if bf16_payload:
+            rows = unpack_bf16_payload(rows, n_rows)
+        if bwd_unsort == "gather":
+            c = presort_idx.shape[0]
+            iota = jnp.arange(c, dtype=jnp.int32)
+            # inv[presort_idx[i]] = i: conflict-free permutation scatter
+            unsort_idx = jnp.zeros((c,), jnp.int32).at[presort_idx].set(
+                iota, unique_indices=True)
+        else:
+            unsort_idx = presort_idx
+        rows_parts.append(rows)
+        unsort_parts.append(unsort_idx)
+    # band tile-ids ascend with b, so concatenation IS global sorted order
+    rows_all = (jnp.concatenate(rows_parts, axis=1) if banded
+                else rows_parts[0])
+    unsort_all = jnp.stack(unsort_parts) if banded else unsort_parts[0]
+    records = _stack_records(rows_all)
     out = rasterize_fwd_impl(records, tile_starts, tile_counts,
                              tile_id_offset, tiles_x)
-    residuals = (records, unsort_idx, tile_starts, tile_counts,
+    residuals = (records, unsort_all, tile_starts, tile_counts,
                  tile_id_offset, table, bases, out)
     return out, residuals
 
 
 def _composite_bwd(tiles_x, tiles_y, include_normal, bwd_unsort, bf16_payload,
-                   fwd_records, residuals, gout):
+                   fwd_records, bands, residuals, gout):
     del fwd_records  # forward-only choice; the backward is unaffected
     from .tile_kernel import rasterize_bwd_impl
 
-    (records, unsort_idx, tile_starts, tile_counts, tile_id_offset,
+    (records, unsort_all, tile_starts, tile_counts, tile_id_offset,
      table, bases, out) = residuals
     d_records = rasterize_bwd_impl(records, tile_starts, tile_counts,
                                    tile_id_offset, out, gout, tiles_x)
     # gradient rows back to presort (gaussian-grouped) order; without
     # normals the 3 zero rows stay out of the unsort payload
     n_rows = NUM_REC_ROWS if include_normal else N_CORE_ROWS
-    d_payload = (pack_bf16_payload(d_records[:n_rows]) if bf16_payload
-                 else d_records[:n_rows])
-    if bwd_unsort == "gather":
-        d_presort = jnp.take(d_payload, unsort_idx, axis=1)
-    else:
-        ops = (unsort_idx,) + tuple(
-            d_payload[r] for r in range(d_payload.shape[0]))
-        # unsort_idx is a permutation of [0, C) — keys are unique, so an
-        # unstable sort is bit-identical to a stable one and measurably
-        # cheaper (64.6 -> 57.0 ms at the 1080p bench extent: XLA's stable
-        # lowering pays for an internal tie-breaker the unique key makes
-        # redundant; scripts/sort_microbench.py).
-        unsorted = jax.lax.sort(ops, num_keys=1, is_stable=False)
-        d_presort = jnp.stack(unsorted[1:], axis=0)      # [n_rows, C]
-    if bf16_payload:
-        d_presort = unpack_bf16_payload(d_presort, n_rows)
-    d_rows = segment_sum_rows(d_presort, jax.lax.stop_gradient(table),
-                              bases)                     # [n_rows, Nw]
-    d_table = jnp.concatenate([
-        d_rows,
-        jnp.zeros((table.shape[0] - n_rows, d_rows.shape[1]),
-                  jnp.float32),
-    ], axis=0)
+    banded = bands > 1
+    cap_b = d_records.shape[1] // bands
+    d_tables = []
+    for b in range(bands):
+        d_rec_b = d_records[:n_rows, b * cap_b:(b + 1) * cap_b]
+        d_payload = (pack_bf16_payload(d_rec_b) if bf16_payload
+                     else d_rec_b)
+        unsort_idx = unsort_all[b] if banded else unsort_all
+        if bwd_unsort == "gather":
+            d_presort = jnp.take(d_payload, unsort_idx, axis=1)
+        else:
+            ops = (unsort_idx,) + tuple(
+                d_payload[r] for r in range(d_payload.shape[0]))
+            # unsort_idx is a permutation of [0, Cb) — keys are unique, so
+            # an unstable sort is bit-identical to a stable one and
+            # measurably cheaper (64.6 -> 57.0 ms at the 1080p bench
+            # extent: XLA's stable lowering pays for an internal
+            # tie-breaker the unique key makes redundant;
+            # scripts/sort_microbench.py).
+            unsorted = jax.lax.sort(ops, num_keys=1, is_stable=False)
+            d_presort = jnp.stack(unsorted[1:], axis=0)  # [n_rows, Cb]
+        if bf16_payload:
+            d_presort = unpack_bf16_payload(d_presort, n_rows)
+        tab = table[b] if banded else table
+        d_rows = segment_sum_rows(d_presort, jax.lax.stop_gradient(tab),
+                                  bases[b] if banded else bases)
+        d_tables.append(jnp.concatenate([
+            d_rows,
+            jnp.zeros((tab.shape[0] - n_rows, d_rows.shape[1]),
+                      jnp.float32),
+        ], axis=0))
+    d_table = jnp.stack(d_tables) if banded else d_tables[0]
 
     def zero_int(shape):
         return np.zeros(shape, dtype=jax.dtypes.float0)
 
-    return (d_table, zero_int(bases.shape), zero_int(()),
+    return (d_table, zero_int(bases.shape),
+            zero_int((bands,) if banded else ()),
             zero_int(tile_starts.shape), zero_int(tile_counts.shape),
             zero_int(tile_id_offset.shape))
 

@@ -39,7 +39,8 @@ import numpy as np
 from .binning import CHUNK, DUMMY_COLS, TILE, bin_splats, tile_grid
 from .camera import Camera
 from .compact import (NUM_REC_ROWS, build_binning, build_table,
-                      composite_compact, fragment_capacity, padded_width)
+                      composite_compact, fragment_capacity, padded_width,
+                      split_profile)
 from .preprocess import Splats2D, preprocess
 from .tile_kernel import NUM_CHANNELS, PIX, rasterize_tiles, tiles_to_image
 
@@ -73,6 +74,17 @@ if _TIGHT_ENV not in ("0", "1", "rows", "auto"):
         f"RODYGS_TIGHT_RECT={_TIGHT_ENV!r}: expected '0', '1', 'rows', or "
         "'auto' (a typo here would silently mis-label an A/B measurement)")
 _ROWS_AUTO_TILES = 4096
+# Sort banding (compact.build_binning bands>1): split the fragment sort
+# into B independent per-tile-row-range sorts. The band count is normally
+# carried INSIDE the fragment_profile knob as a (profile, bands) tuple —
+# chosen demand-driven by the trainers' EscalationPoller
+# (compact.bands_decision) — or forced per-call via render(sort_bands=).
+# "auto" (default) defers to those; an integer env value forces a global
+# count for A/B runs (1 = off everywhere).
+_BANDS_ENV = os.environ.get("RODYGS_SORT_BANDS", "auto")
+if _BANDS_ENV != "auto" and not _BANDS_ENV.isdigit():
+    raise ValueError(
+        f"RODYGS_SORT_BANDS={_BANDS_ENV!r}: expected 'auto' or an integer")
 
 
 def _default_tight(num_tiles: int):
@@ -135,7 +147,8 @@ def _local_tile_slice(tile_starts, tile_counts, tile_axis, num_tiles):
     static_argnames=("sh_degree", "image_width", "image_height",
                      "max_fragments", "tile_axis", "fragment_profile",
                      "binning_mode", "gauss_axis", "include_normal",
-                     "bf16_records", "tight_rect", "pose_grad_only"),
+                     "bf16_records", "tight_rect", "pose_grad_only",
+                     "sort_bands"),
 )
 def render(
     means3d: jnp.ndarray,
@@ -161,6 +174,7 @@ def render(
     bf16_records: bool | None = None,
     tight_rect: bool | str | None = None,
     pose_grad_only: bool = False,
+    sort_bands: int | None = None,
 ):
     """Differentiable tile rasterization of N Gaussians.
 
@@ -214,7 +228,16 @@ def render(
         n = splats.mean2d.shape[1]
         capacity = fragment_capacity(n, fragment_profile)
         tight = _default_tight(num_tiles) if tight_rect is None else tight_rect
-        cb = build_binning(splats, tiles_x, tiles_y, capacity, tight=tight)
+        _, prof_bands = split_profile(fragment_profile)
+        if _BANDS_ENV != "auto":
+            bands = int(_BANDS_ENV)
+        elif sort_bands is not None:
+            bands = max(1, sort_bands)
+        else:
+            bands = prof_bands
+        bands = min(bands, tiles_y)
+        cb = build_binning(splats, tiles_x, tiles_y, capacity, tight=tight,
+                           bands=bands)
         nw = padded_width(n)
         rec13 = jnp.concatenate(
             [
@@ -227,13 +250,20 @@ def render(
             ],
             axis=0,
         )
-        table = build_table(jnp.pad(rec13, ((0, 0), (0, nw - n))),
-                            cb.aux_rows)
+        rec13 = jnp.pad(rec13, ((0, 0), (0, nw - n)))
+        if bands > 1:
+            # per-band tables share the record rows; stacking here lets the
+            # backward's [B, R, Nw] d_table cotangent sum over bands through
+            # plain autodiff of the stack/concat
+            table = jnp.stack(
+                [build_table(rec13, cb.aux_rows[b]) for b in range(bands)])
+        else:
+            table = build_table(rec13, cb.aux_rows)
         if tile_axis is None:
             tile_out = composite_compact(
                 table, cb.bases, cb.f_kept, cb.tile_starts, cb.tile_counts,
                 jnp.zeros((1,), jnp.int32), tiles_x, tiles_y, include_normal,
-                _BWD_UNSORT, bf16, _FWD_RECORDS)
+                _BWD_UNSORT, bf16, _FWD_RECORDS, bands)
         else:
             # Tile-space sharding: this device composites a contiguous slice
             # of the tile grid; outputs reassemble with a tiled all_gather
@@ -244,7 +274,7 @@ def render(
                 table, cb.bases, cb.f_kept, local_starts, local_counts,
                 jnp.reshape(t0, (1,)).astype(jnp.int32),
                 tiles_x, tiles_y, include_normal, _BWD_UNSORT, bf16,
-                _FWD_RECORDS)
+                _FWD_RECORDS, bands)
             gathered = jax.lax.all_gather(
                 local_out, tile_axis, axis=0, tiled=True)
             tile_out = gathered[:num_tiles]

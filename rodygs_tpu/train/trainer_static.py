@@ -26,8 +26,10 @@ import jax.numpy as jnp
 from ..models import gaussians as G
 from ..ops.schedules import expon_lr
 from ..render.camera import Camera
-from ..render.compact import (escalation_poll_due, fit_capacity,
-                              fragment_capacity, profile_for_demand)
+from ..render.compact import (BAND_KEEP_MARGIN, bands_decision, bands_viable,
+                              escalation_poll_due, fit_capacity,
+                              fragment_capacity, join_profile,
+                              profile_for_demand, split_profile)
 from ..render.rasterize import render
 from .densify import DensifyStats, accumulate_stats, densify_and_prune, init_stats, reset_opacity
 from .losses import MultiLoss
@@ -173,8 +175,8 @@ class EscalationPoller:
     Shrinking: every fragment-scale op scales with the static capacity, so
     when the observed demand sits far below it (converged scenes on the
     "lean" 6N tier, or after early-training blobs shrink) the poller
-    re-jits DOWN to `fit_capacity` (structural floor + 1.25x demand on a
-    1.5-geometric grid). Guards against thrash: steady state only
+    re-jits DOWN to `fit_capacity` (structural floor + 1.25x demand on the
+    CAP_GRID_STEP geometric grid). Guards against thrash: steady state only
     (iteration > 100), the fit must be at least one full grid step below
     the current capacity, and TWO consecutive polls must agree (the larger
     of their fits wins). Escalation always takes precedence.
@@ -194,48 +196,95 @@ class EscalationPoller:
     def __init__(self, allow_shrink: bool = True):
         self._probe = None
         self._shrink_fit = None
+        self._bands_pending = None
         self._initial_fit_pending = True
         self.allow_shrink = allow_shrink
 
+    def _fit_with_bands(self, capacity: int, demand: int):
+        """Joint (fit capacity, bands) choice: the b=1 fit's 1.25x demand
+        margin already absorbs a banded structural floor worth up to 10%
+        of demand (bands_decision's upgrade margin requires exactly that),
+        so the fit is NOT re-inflated for the floor — the band count is
+        simply the largest the fitted capacity supports with upgrade-grade
+        headroom."""
+        fit = fit_capacity(capacity, demand)
+        return fit, bands_decision(capacity, fit, demand)
+
     def poll(self, iteration: int, metrics: dict, capacity: int,
-             profile: str | int):
-        """Returns the new fragment profile (ladder name or explicit
-        integer capacity) to re-jit with, or None."""
+             profile):
+        """Returns the new fragment profile to re-jit with, or None.
+        Profiles are ladder names, explicit integer capacities, or
+        (profile, bands) tuples carrying a sort-band count
+        (compact.split_profile)."""
         if not escalation_poll_due(iteration):
             return None
         probe = self._probe if self._probe is not None else metrics
         self._probe = metrics
+        prof, bands = split_profile(profile)
+        cur = fragment_capacity(capacity, prof)
+        demand = int(probe["num_fragments"])
         if bool(probe["overflow"]):
             self._shrink_fit = None
+            self._bands_pending = None
             self._initial_fit_pending = False
-            wider = profile_for_demand(
-                capacity, int(probe["num_fragments"]), profile)
-            if wider is not None:
-                self._probe = None
-            return wider
+            # a banded overflow whose real demand still fits the total
+            # extent is a band-imbalance artifact: drop bands before
+            # growing capacity
+            if bands > 1:
+                for b in range(bands - 1, 0, -1):
+                    if bands_viable(capacity, cur, demand, b):
+                        self._probe = None
+                        return join_profile(prof, b)
+            wider = profile_for_demand(capacity, demand, prof, bands=bands)
+            if wider is None:
+                return None
+            self._probe = None
+            wcap = fragment_capacity(capacity, wider)
+            return join_profile(wider,
+                                bands_decision(capacity, wcap, demand))
         if not self.allow_shrink:
             return None
-        cur = fragment_capacity(capacity, profile)
-        fit = fit_capacity(capacity, int(probe["num_fragments"]))
+        fit, fit_bands = self._fit_with_bands(capacity, demand)
         if self._initial_fit_pending:
             # one-time immediate fit off the first observed step demand
             # (see class docstring); later polls keep the hysteresis.
             self._initial_fit_pending = False
-            if fit * 3 // 2 <= cur:
+            if fit * 5 // 4 <= cur:
                 self._probe = None
-                return fit
+                return join_profile(fit, fit_bands)
             return None
         if iteration <= 100:
             return None
-        if fit * 3 // 2 > cur:   # less than one grid step below: keep
+        if fit * 5 // 4 <= cur:  # at least one grid step below: shrink
+            prev_fit, self._shrink_fit = self._shrink_fit, fit
+            if prev_fit is None:
+                return None
+            self._probe = None
             self._shrink_fit = None
+            fit = max(fit, prev_fit)
+            return join_profile(fit, bands_decision(capacity, fit, demand))
+        self._shrink_fit = None
+        # capacity is settled: adjust the band count alone. Downgrades are
+        # immediate (the current band count no longer keeps even the 3%
+        # imbalance margin — waiting risks overflow drops); upgrades need
+        # the 10% headroom margin AND 2-poll agreement, so a marginal fit
+        # can't oscillate overflow -> reduce -> re-upgrade.
+        if not bands_viable(capacity, cur, demand, bands):
+            self._probe = None
+            self._bands_pending = None
+            return join_profile(
+                prof, bands_decision(capacity, cur, demand,
+                                     margin=BAND_KEEP_MARGIN))
+        want_b = bands_decision(capacity, cur, demand)
+        if want_b <= bands:
+            self._bands_pending = None
             return None
-        prev_fit, self._shrink_fit = self._shrink_fit, fit
-        if prev_fit is None:
+        prev, self._bands_pending = self._bands_pending, want_b
+        if prev != want_b:
             return None
         self._probe = None
-        self._shrink_fit = None
-        return max(fit, prev_fit)
+        self._bands_pending = None
+        return join_profile(prof, want_b)
 
 
 class ThreeDGSTrainer:

@@ -668,7 +668,7 @@ class TestEscalationPoller:
         wider = p.poll(75, self._m(False, 0), 256, "lean")
         assert wider is not None
         from rodygs_tpu.render.compact import fragment_capacity
-        assert fragment_capacity(256, wider) >= 12_500
+        assert fragment_capacity(256, wider) >= 11_500
         # escalation invalidated the snapshot: the next poll reads current
         assert p.poll(100, self._m(True, 10**6), 256, wider) is not None
 
