@@ -61,10 +61,15 @@ _FWD_RECORDS = os.environ.get("RODYGS_FWD_RECORDS", "sort")
 # RODYGS_TIGHT_RECT=0 is the A/B kill-switch (the OFF side reproduces the
 # reference's circle-rect demand). RODYGS_TIGHT_RECT=rows additionally
 # enumerates exact per-tile-row ellipse spans (compact.ellipse_row_spans).
-# Hardware A/B (v5e, r3 — logs/ab_r3): rows is -34% step time (+52%
-# throughput) at 1920x1080/240k (225.3 vs 343.6 ms, demand 4.71M vs 5.47M)
-# but +1.4% at 512^2/100k (29.5 vs 29.1 ms) where the span-enumeration
-# overhead outweighs the 9% fragment cut. Default is therefore ADAPTIVE:
+# Hardware A/B: at 1920x1080/240k rows cuts DEMAND 5.47M -> 4.71M; when
+# both sides settle on the same "huge" capacity the step time is ~equal
+# (r3's headline 225.3-vs-343.6 "win" was a pre-escalation artifact — that
+# window ran before the re-jit to huge; see DESIGN.md r5 correction), but
+# the lower demand unlocks tighter demand-fit capacities and higher sort
+# band counts, where the win is real (flagship joint-iter 587 -> 572 via
+# the dynamic stage's 1.84M vs 2.76M fit). At 512^2/100k rows is +1.4%
+# (29.5 vs 29.1 ms): span-enumeration overhead outweighs the 9% fragment
+# cut. Default is therefore ADAPTIVE:
 # rows when the tile grid is large (>= _ROWS_AUTO_TILES tiles, e.g. any
 # 1080p render at 8160 tiles), alpha-AABB below (512^2 = 1024 tiles).
 # An explicit RODYGS_TIGHT_RECT always wins.

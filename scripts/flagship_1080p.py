@@ -497,8 +497,12 @@ def main(args):
         train_s_prev = side["train_s"]
         if side.get("pose_noise"):
             pose_noise = side["pose_noise"]
-        st.fragment_profile = side["profiles"][0]
-        joint.dyn_fragment_profile = side["profiles"][1]
+        # JSON turns banded (profile, bands) tuples into lists; normalize
+        # back so they stay hashable jit statics (compact.split_profile)
+        from rodygs_tpu.render.compact import join_profile, split_profile
+        st.fragment_profile = join_profile(*split_profile(side["profiles"][0]))
+        joint.dyn_fragment_profile = join_profile(
+            *split_profile(side["profiles"][1]))
         resumed_from = start_iter - 1
         print(f"[flagship] RESUMED at iter {start_iter} "
               f"(profiles={side['profiles']})", flush=True)
