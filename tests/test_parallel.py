@@ -837,3 +837,42 @@ class TestShardedRenderKnobs:
         tight = run_sharded(tight_rect=True)
         np.testing.assert_allclose(np.asarray(tight), np.asarray(loose),
                                    atol=1e-6)
+
+    def test_tile_sharded_banded_sort(self, scene):
+        """sort_bands>1 inside the tile-sharded shard_map path: banded
+        tile_starts are global column positions into the concatenated
+        per-band records, so the local tile slice must composite
+        identically to the unsharded banded render AND to the unbanded
+        baseline (same per-tile fragment order; ~1 ulp)."""
+        store, poses, views = scene
+        cam = views[0][0]
+        p = store.params
+        args = (p.xyz, G.get_features(p), G.get_opacity(p),
+                G.get_scaling(p), p.rotation)
+        mesh = make_mesh(n_data=2, n_tile=4)
+
+        def run_sharded(**kw):
+            def shard_fn():
+                out = render(*args, cam, 1, W, H, alive=store.alive,
+                             tile_axis="tile", fragment_profile="wide", **kw)
+                return out["rendered_image"]
+
+            return jax.jit(shard_map(
+                shard_fn, mesh=mesh, in_specs=(), out_specs=P(),
+                check_vma=False))()
+
+        sharded_banded = run_sharded(sort_bands=3)
+        single_banded = render(*args, cam, 1, W, H, alive=store.alive,
+                               fragment_profile="wide",
+                               sort_bands=3)["rendered_image"]
+        single_unbanded = render(*args, cam, 1, W, H, alive=store.alive,
+                                 fragment_profile="wide")["rendered_image"]
+        np.testing.assert_allclose(np.asarray(sharded_banded),
+                                   np.asarray(single_banded), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sharded_banded),
+                                   np.asarray(single_unbanded), atol=2e-6)
+        # the (profile, bands) tuple encoding reaches the same path
+        tuple_form = render(*args, cam, 1, W, H, alive=store.alive,
+                            fragment_profile=("wide", 3))["rendered_image"]
+        np.testing.assert_array_equal(np.asarray(tuple_form),
+                                      np.asarray(single_banded))
