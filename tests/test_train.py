@@ -810,6 +810,44 @@ class TestShrinkDuringTraining:
         assert np.isfinite(float(m["loss"]))
         assert int(m["dropped"]) == 0
 
+    def test_trainer_picks_bands_and_trains_through_the_tuple(self,
+                                                              monkeypatch):
+        """End-to-end integration of the banded-profile flow at toy scale:
+        with the band-extent threshold monkeypatched down, the poller must
+        upgrade the fragment profile to a (capacity, bands) TUPLE, the
+        trainer must re-jit through it, and training must stay finite and
+        drop-free on the banded render."""
+        from rodygs_tpu.render import compact
+        monkeypatch.setattr(compact, "_BAND_MIN_EXTENT", 64)
+        (gt_means, gt_cols), views = make_gt_scene()
+        store = G.from_point_cloud(gt_means, gt_cols, sh_degree=1,
+                                   capacity=256)
+        poses = CameraPoses(
+            q_c2w=jnp.stack([v[0].q_c2w for v in views]),
+            t_c2w=jnp.stack([v[0].t_c2w for v in views]))
+        loss = MultiLoss([LossTerm("l1", 1.0, "L1Loss")])
+        cfg = StaticTrainerConfig(
+            num_iterations=200, image_width=W, image_height=H, sh_degree=1,
+            densification_interval=0, densify_from_iter=10**9,
+            position_lr_max_steps=200, camera_total_steps=200,
+            camera_rotation_lr=0.0, camera_translation_lr=0.0)
+        trainer = ThreeDGSTrainer(cfg, loss, store, poses, 3.0)
+        key = jax.random.key(0)
+        for it in range(1, 201):
+            cam, gt_img, _ = views[(it - 1) % len(views)]
+            batch = FrameBatch(
+                gt_image=jnp.asarray(gt_img), gt_depth=None, motion_mask=None,
+                frame_idx=jnp.asarray((it - 1) % len(views), jnp.int32),
+                time=cam.time, fovx=cam.fovx, fovy=cam.fovy)
+            key, sub = jax.random.split(key)
+            m = trainer.train_iteration(batch, it, sub)
+        from rodygs_tpu.render.compact import split_profile
+        prof, bands = split_profile(trainer.fragment_profile)
+        assert bands > 1, trainer.fragment_profile
+        assert isinstance(trainer.fragment_profile, tuple)
+        assert np.isfinite(float(m["loss"]))
+        assert int(m["dropped"]) == 0
+
 
 class TestRigidityMemory:
     """The rigidity backward must NOT differentiate through the blocked-KNN
