@@ -31,6 +31,24 @@ from .pose_metrics import PoseEvaluator
 from .pose_opt import PoseOptimizer
 
 
+def eval_fit_profile(n: int, demand: int, current):
+    """Demand-fitted fragment profile for the (forward-only) evaluator:
+    shrink to the fitted capacity when it sits a grid step below the
+    current one, then band it like the trainers do — eval renders hundreds
+    of views and the fragment sort is still the dominant stage at large
+    extents (compact.bands_decision; the sort cost curve is superlinear)."""
+    from ..render.compact import (bands_decision, fit_capacity,
+                                  fragment_capacity, join_profile,
+                                  split_profile)
+
+    prof_cur, _ = split_profile(current)   # never nest (profile, bands)
+    fit = fit_capacity(n, demand)
+    if fit * 5 // 4 > fragment_capacity(n, prof_cur):
+        fit = prof_cur
+    cap = fragment_capacity(n, fit)
+    return join_profile(fit, bands_decision(n, cap, demand))
+
+
 def chunk_padded(seq, size: int):
     """Split `seq` into fixed-size chunks for a once-compiled batched map.
 
@@ -180,8 +198,7 @@ class RoDyGSEvaluator:
         op costs ~capacity; eval renders hundreds of views). One probe is
         enough: eval renders a CONVERGED scene, whose per-view fragment
         demand varies far less than the 25% headroom both sizers add."""
-        from ..render.compact import (fit_capacity, fragment_capacity,
-                                      profile_for_demand)
+        from ..render.compact import profile_for_demand
 
         while True:
             xyz, shs, opacity, scaling, rotation, alive = self._concat_arrays(
@@ -192,10 +209,9 @@ class RoDyGSEvaluator:
                          fragment_profile=self.fragment_profile,
                          include_normal=False)
             if not bool(out["overflow"]):
-                fit = fit_capacity(xyz.shape[0], int(out["num_fragments"]))
-                if fit * 5 // 4 <= fragment_capacity(
-                        xyz.shape[0], self.fragment_profile):
-                    self.fragment_profile = fit
+                self.fragment_profile = eval_fit_profile(
+                    xyz.shape[0], int(out["num_fragments"]),
+                    self.fragment_profile)
                 return
             wider = profile_for_demand(
                 xyz.shape[0], int(out["num_fragments"]),

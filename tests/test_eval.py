@@ -400,3 +400,42 @@ class TestPoseMetricsReferenceParity:
         np.testing.assert_allclose(score["RPE_rot"], rpe_r, rtol=1e-4)
         # sanity: a noisy-but-aligned estimate scores small-but-nonzero
         assert 0 < score["ATE"] < 0.1
+
+
+class TestEvalFitProfile:
+    """eval_fit_profile: demand-fit + banding for the forward-only
+    evaluator (mirrors the trainers' EscalationPoller policy)."""
+
+    def test_shrinks_and_bands_at_large_extents(self):
+        from rodygs_tpu.evalsuite.evaluator import eval_fit_profile
+        from rodygs_tpu.render.compact import (fit_capacity,
+                                               fragment_capacity,
+                                               split_profile)
+        n, demand = 240_000, 3_000_000
+        got = eval_fit_profile(n, demand, "huge")
+        prof, bands = split_profile(got)
+        assert prof == fit_capacity(n, demand)     # a real shrink
+        assert bands > 1                           # banded at this extent
+        assert fragment_capacity(n, got) < fragment_capacity(n, "huge")
+
+    def test_keeps_current_when_fit_not_below(self):
+        from rodygs_tpu.evalsuite.evaluator import eval_fit_profile
+        from rodygs_tpu.render.compact import split_profile
+        # demand high enough that the fit exceeds huge: keep huge, may band
+        got = eval_fit_profile(240_000, 4_718_876, "huge")
+        prof, bands = split_profile(got)
+        assert prof == "huge"
+        assert bands == 2
+
+    def test_never_nests_tuples(self):
+        from rodygs_tpu.evalsuite.evaluator import eval_fit_profile
+        from rodygs_tpu.render.compact import split_profile
+        first = eval_fit_profile(240_000, 3_000_000, "huge")
+        again = eval_fit_profile(240_000, 3_000_000, first)
+        prof, bands = split_profile(again)
+        assert not isinstance(prof, (tuple, list))
+
+    def test_small_scenes_stay_plain(self):
+        from rodygs_tpu.evalsuite.evaluator import eval_fit_profile
+        got = eval_fit_profile(100_000, 450_000, "lean")
+        assert not isinstance(got, tuple)
