@@ -16,11 +16,11 @@ if [ "$FPID" != "0" ]; then
 fi
 
 echo "=== [1/5] 1080p A/B: banded (poller default) vs forced bands=1 ==="
-timeout 1500 python scripts/profile_step.py \
+timeout 2400 python scripts/profile_step.py \
   --width 1920 --height 1080 --n 240000 --no_trace --windows 4 --steps 8 \
   > logs/postrun_r5/ab1080_banded.log 2>&1
 echo "banded: rc=$? $(grep '\[steady\]' logs/postrun_r5/ab1080_banded.log | tail -1)"
-timeout 1500 env RODYGS_SORT_BANDS=1 python scripts/profile_step.py \
+timeout 2400 env RODYGS_SORT_BANDS=1 python scripts/profile_step.py \
   --width 1920 --height 1080 --n 240000 --no_trace --windows 4 --steps 8 \
   > logs/postrun_r5/ab1080_bands1.log 2>&1
 echo "bands1: rc=$? $(grep '\[steady\]' logs/postrun_r5/ab1080_bands1.log | tail -1)"
