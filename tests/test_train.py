@@ -513,7 +513,7 @@ class TestFragmentProfileEscalation:
                                                fragment_capacity)
         demand = int(m0["num_fragments"])
         cap = fragment_capacity(256, trainer.fragment_profile)
-        assert cap >= min(int(demand * 1.25), MAX_FRAGMENT_CAPACITY) or \
+        assert cap >= min(int(demand * 1.15), MAX_FRAGMENT_CAPACITY) or \
             cap == MAX_FRAGMENT_CAPACITY
         # and the escalated step still runs, without drops
         m = trainer.train_iteration(batch, 26, jax.random.key(1))
@@ -540,7 +540,7 @@ class TestProfileForDemand:
         demand = huge * 4
         cap = profile_for_demand(n, demand, "huge")
         assert isinstance(cap, int)
-        assert cap >= demand * 1.25
+        assert cap >= demand * 1.15
         assert cap % FCHUNK == 0
         # growth is monotone from the int tier too
         cap2 = profile_for_demand(n, demand * 2, cap)
