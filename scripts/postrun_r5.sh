@@ -8,11 +8,12 @@ set -u
 cd /root/repo
 mkdir -p logs/postrun_r5
 
-FPID=${1:-0}
-if [ "$FPID" != "0" ]; then
-  echo "waiting for flagship pid $FPID..."
-  while kill -0 "$FPID" 2>/dev/null; do sleep 30; done
-  echo "flagship exited at $(date)"
+# gate on the babysitter's completion marker (the flagship PID changes on
+# stall-restarts, so a PID wait is the wrong trigger)
+if [ "${1:-wait}" != "nowait" ]; then
+  echo "waiting for logs/flagship_exact.done..."
+  while [ ! -f logs/flagship_exact.done ]; do sleep 30; done
+  echo "flagship stage complete at $(date)"
 fi
 
 echo "=== [1/5] 1080p A/B: banded (poller default) vs forced bands=1 ==="
