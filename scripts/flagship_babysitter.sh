@@ -1,18 +1,21 @@
 #!/bin/bash
 # Babysits the exact-pose 20k flagship through axon tunnel stalls: starts
-# the run, watches its log mtime, and on >6 min of silence (steady cadence
-# is a log line every ~30-50 s; legitimate gaps — snapshot writes, SH-ramp
-# re-jits — stay under ~3 min) kills the exact PID and restarts, resuming
-# from the latest 2000-iter snapshot. Touches logs/flagship_exact.done when
-# FLAGSHIP_20K_EXACT.json exists (or on giving up), which gates
-# postrun_r5.sh. Two manual kill+resume cycles tonight motivated this.
+# (or adopts, pass the PID as $1) the run, watches its log mtime, and on
+# >6 min of silence (steady cadence is a log line every ~30-50 s) kills the
+# exact PID and restarts, resuming from the latest 2000-iter snapshot.
+# ENDGAME GRACE: past iter 19500 the final eval renders compile and run
+# silently for many minutes — the stall threshold widens to 45 min there so
+# the watchdog cannot kill a run that is finishing. Touches
+# logs/flagship_exact.done when FLAGSHIP_20K_EXACT.json exists (or on
+# giving up), which gates postrun_r5.sh.
 set -u
 cd /root/repo
 LOG=logs/flagship_20k_exact.log
 OUT=FLAGSHIP_20K_EXACT.json
 MARKER=logs/flagship_exact.done
 STALL_S=360
-MAX_RESTARTS=8
+ENDGAME_STALL_S=2700
+MAX_RESTARTS=10
 
 run_once() {
   nohup python scripts/flagship_1080p.py --iters 20000 --width 1920 \
@@ -23,8 +26,14 @@ run_once() {
   echo "[babysitter] started flagship pid $FPID at $(date)"
 }
 
+FPID=${1:-}
+if [ -z "$FPID" ]; then
+  run_once
+else
+  echo "[babysitter] adopting flagship pid $FPID at $(date)"
+fi
+
 restarts=0
-run_once
 while true; do
   sleep 60
   if [ -f "$OUT" ] && ! kill -0 "$FPID" 2>/dev/null; then
@@ -38,10 +47,13 @@ while true; do
     run_once
     continue
   fi
-  # stall detection: no log append for STALL_S seconds
   age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
-  if [ "$age" -gt "$STALL_S" ]; then
-    echo "[babysitter] stall detected (log idle ${age}s) at $(date); killing $FPID"
+  thresh=$STALL_S
+  if tail -3 "$LOG" | grep -qE "iter (19[5-9][0-9][0-9]|20000)|RESUMED at iter 200"; then
+    thresh=$ENDGAME_STALL_S
+  fi
+  if [ "$age" -gt "$thresh" ]; then
+    echo "[babysitter] stall detected (log idle ${age}s, thresh ${thresh}) at $(date); killing $FPID"
     kill "$FPID" 2>/dev/null
     sleep 5
     kill -0 "$FPID" 2>/dev/null && kill -9 "$FPID" 2>/dev/null
